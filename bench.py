@@ -1,0 +1,83 @@
+#!/usr/bin/env python3
+"""Benchmark: 512px end-to-end train steps/sec on one TPU chip.
+
+Measures the flagship stage-2 configuration at the reference's operating
+point (BASELINE.md: 512x512, batchSize 2, GAN + feature-matching + VGG +
+L2 + densepose + temporal losses — train_start/pretrain_start.sh:11,26,31-37)
+as ONE jitted G+D step, on synthetic data (the step's cost is data-independent).
+
+Baseline for vs_baseline: the reference publishes no throughput (BASELINE.md);
+the north star is ">3x V100 training throughput per v5e chip". We take a
+V100 estimate of 2.0 steps/s for a pix2pixHD-class 512px bs2 G+D step
+(compute-bound GAN training at ~this FLOP budget; the reference repo itself
+offers nothing more precise), so vs_baseline = steps_per_sec / 2.0 and the
+north-star target is vs_baseline >= 6.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+import json
+import sys
+import time
+
+V100_BASELINE_STEPS_PER_SEC = 2.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from neural_human_video_rendering_tpu.config import Options
+    from neural_human_video_rendering_tpu.data import dataset as dsm
+    from neural_human_video_rendering_tpu.train import steps as st
+    from neural_human_video_rendering_tpu.train.state import create_train_state
+
+    # reference operating point (test_start/start.sh + pretrain_start.sh)
+    opt = Options(
+        loadSize=512, batchSize=2, tex_tile=128,
+        ngf=64, n_downsample_translate=4, n_blocks_translate=9,
+        ngf_global=48, n_downsample_global=2, n_blocks_global=10,
+        n_downsample_bg=2, n_blocks_bg=2,
+        num_D=2, n_layers_D=3, ndf=64,
+        lambda_L2=500, lambda_UV=1000, lambda_Prob=10, lambda_Temp=500,
+        use_densepose_loss=True, dtype="bfloat16", use_pallas_warp=True,
+    )
+
+    ds = dsm.SyntheticDataset(opt, length=opt.batchSize)
+    batch = dsm.collate([ds[i] for i in range(opt.batchSize)])
+    batch = {k: jnp.asarray(v) for k, v in batch.items()}
+
+    bundle = create_train_state(opt, jax.random.PRNGKey(0),
+                                ds.texture_atlas(), ds.background())
+    step = st.make_train_step(opt, bundle["renderer"], bundle["disc"],
+                              bundle["vgg_params"], bundle["g_tx"],
+                              bundle["d_tx"])
+    state = bundle["state"]
+
+    # warmup / compile
+    t0 = time.time()
+    state, metrics = step(state, batch)
+    jax.block_until_ready(metrics)
+    compile_s = time.time() - t0
+    print(f"# compile: {compile_s:.1f}s  device: {jax.devices()[0]}",
+          file=sys.stderr)
+
+    # timed: fetch metrics each iteration so the device queue can't run ahead
+    iters = 20
+    t0 = time.time()
+    for _ in range(iters):
+        state, metrics = step(state, batch)
+    jax.block_until_ready((state, metrics))
+    dt = (time.time() - t0) / iters
+    steps_per_sec = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "train_steps_per_sec_512px_bs2",
+        "value": round(steps_per_sec, 4),
+        "unit": "steps/s",
+        "vs_baseline": round(steps_per_sec / V100_BASELINE_STEPS_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,227 @@
+"""Options / config layer.
+
+Drop-in compatible CLI flag surface with the reference launchers
+(reference: test_start/start.sh:7-28, train_start/pretrain_start.sh:10-37,
+pretrainTrans.sh:2-16, pre_train_tex.sh:2-23 — pix2pixHD-style argparse
+vocabulary). The four reference `.sh` scripts must run against this framework
+with path edits only, so every flag name below (including the upstream typo
+``--lapalce_path``) is preserved verbatim.
+
+Internally everything lands in one frozen-ish dataclass ``Options`` that is
+hashable on its static fields so it can be closed over by jitted functions.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+from typing import Optional, Tuple
+
+
+@dataclasses.dataclass
+class Options:
+    # ---- experiment bookkeeping (pix2pixHD BaseOptions vocabulary) ----
+    name: str = "experiment"
+    gpu_ids: str = "0"              # accepted for CLI compat; JAX manages devices
+    checkpoints_dir: str = "./checkpoints"
+    model: str = "nhvr"
+    norm: str = "instance"
+    verbose: bool = False
+
+    # ---- input/output sizes ----
+    batchSize: int = 1
+    loadSize: int = 512
+    fineSize: int = 512
+    input_nc: int = 3
+    output_nc: int = 3
+    resize_or_crop: str = "resize"
+    serial_batches: bool = False
+    no_flip: bool = False
+    nThreads: int = 2
+    max_dataset_size: int = int(1e9)
+    data_ratio: float = 1.0          # train fraction; rest held out for eval
+
+    # ---- dataset paths (reference data contract, README.md:39-64) ----
+    pose_path: str = ""
+    pose_tgt_path: str = ""
+    mask_path: str = ""
+    img_path: str = ""
+    densepose_path: str = ""
+    bg_path: str = ""
+    texture_path: str = ""
+    flow_path: str = ""
+    flow_inv_path: str = ""
+    lapalce_path: str = ""           # upstream flag name kept verbatim (sic)
+    part_texture_path: str = ""
+    pose_texture_path: str = ""
+
+    # ---- pose label encoding ----
+    use_laplace: bool = False
+    pose_plus_laplace: bool = False
+    n_joints: int = 18               # "18Feature" encoding (COCO-18 from BODY_25)
+    laplace_nc: int = 3              # channels loaded per LaplaceProj frame
+
+    # ---- generator architecture ----
+    netG: str = "global"
+    ngf: int = 64
+    n_downsample_global: int = 4
+    n_blocks_global: int = 9
+    ngf_global: int = 64             # TexG width override (test_start/start.sh:17)
+    n_blocks_translate: int = 9      # TransG depth (pretrainTrans.sh:13)
+    n_downsample_translate: int = 4
+    n_downsample_bg: int = 2
+    n_blocks_bg: int = 2
+    TexG: str = "part"
+    use_mask_texture: bool = False
+    instance_feat: bool = False      # accepted for compat; no-op (no instance maps)
+    label_feat: bool = False
+
+    # ---- discriminator ----
+    num_D: int = 2
+    n_layers_D: int = 3
+    ndf: int = 64
+    no_lsgan: bool = False
+    pool_size: int = 0
+
+    # ---- densepose / texture geometry ----
+    n_parts: int = 24                # densepose body parts (bg = index 0)
+    tex_tile: int = 128              # per-part texture tile (TPU-aligned default)
+    tex_rows: int = 4
+    tex_cols: int = 6
+
+    # ---- optimization ----
+    lr: float = 2e-4
+    beta1: float = 0.5
+    beta2: float = 0.999
+    niter: int = 100
+    niter_decay: int = 100
+    no_decay: bool = False
+
+    # ---- loss weights (train_start/pretrain_start.sh:31-37) ----
+    lambda_feat: float = 10.0
+    lambda_L2: float = 0.0
+    lambda_UV: float = 0.0
+    lambda_Prob: float = 0.0
+    lambda_Temp: float = 0.0
+    lambda_Mask: float = 1.0
+    use_densepose_loss: bool = False
+    no_ganFeat_loss: bool = False
+    no_vgg_loss: bool = False
+
+    # ---- schedules / logging ----
+    display_freq: int = 100
+    print_freq: int = 100
+    save_latest_freq: int = 1000
+    save_epoch_freq: int = 10
+    tf_log: bool = False
+    no_html: bool = False
+    debug: bool = False
+
+    # ---- checkpoint / resume ----
+    continue_train: bool = False
+    load_pretrain: str = ""
+    which_epoch: str = "latest"
+    load_pretrain_TransG: str = ""
+    which_epoch_TransG: str = "latest"
+
+    # ---- inference ----
+    results_dir: str = "./results"
+    how_many: int = int(1e9)
+    phase: str = "train"
+
+    # ---- TPU-native knobs (new; no reference analog) ----
+    dtype: str = "bfloat16"          # compute dtype; params/opt state stay fp32
+    mesh_shape: str = ""             # e.g. "8" or "4,2"; empty = all devices, 1 axis
+    use_pallas_warp: bool = True     # fused Pallas texture-warp kernel
+    warp_topk: int = 4               # top-k part sampling in the texture warp (0/24 = all parts)
+    seed: int = 0
+    isTrain: bool = True
+
+    # ------------------------------------------------------------------
+    @property
+    def run_dir(self) -> str:
+        return os.path.join(self.checkpoints_dir, self.name)
+
+    @property
+    def pose_nc(self) -> int:
+        """Channels of the rasterized pose-label input fed to the generators.
+
+        input_nc=3 RGB skeleton render (reference uses rendered pose images,
+        input_nc 3 at test_start/start.sh:24); LaplaceProj channels are
+        concatenated when --use_laplace / --pose_plus_laplace.
+        """
+        nc = 0
+        if self.pose_plus_laplace or not self.use_laplace:
+            nc += self.input_nc
+        if self.use_laplace:
+            nc += self.laplace_nc
+        return nc
+
+    @property
+    def transg_out_nc(self) -> int:
+        # 1+n_parts part logits (bg at 0) + 2*n_parts UV channels
+        return (1 + self.n_parts) + 2 * self.n_parts
+
+    def save(self) -> None:
+        """Dump options to {checkpoints_dir}/{name}/opt.txt (pix2pixHD contract)."""
+        os.makedirs(self.run_dir, exist_ok=True)
+        path = os.path.join(self.run_dir, "opt.txt")
+        with open(path, "w") as f:
+            f.write("------------ Options -------------\n")
+            for k, v in sorted(dataclasses.asdict(self).items()):
+                f.write(f"{k}: {v}\n")
+            f.write("-------------- End ----------------\n")
+
+
+def _add_flags(p: argparse.ArgumentParser) -> None:
+    d = Options()
+    for field in dataclasses.fields(Options):
+        name = "--" + field.name
+        default = getattr(d, field.name)
+        if field.type == "bool" or isinstance(default, bool):
+            p.add_argument(name, action="store_true", default=default)
+        else:
+            p.add_argument(name, type=type(default), default=default)
+
+
+class BaseOptions:
+    """argparse front-end mirroring pix2pixHD's BaseOptions.parse()."""
+
+    isTrain = True
+
+    def __init__(self) -> None:
+        self.parser = argparse.ArgumentParser(
+            description="TPU-native neural human video rendering",
+            conflict_handler="resolve",
+        )
+        _add_flags(self.parser)
+        self._customize(self.parser)
+
+    def _customize(self, parser: argparse.ArgumentParser) -> None:
+        pass
+
+    def parse(self, args=None, save: bool = True) -> Options:
+        ns = self.parser.parse_args(args)
+        opt = Options(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(Options)})
+        opt.isTrain = self.isTrain
+        if opt.isTrain and save:
+            opt.save()
+        if opt.verbose:
+            for k, v in sorted(dataclasses.asdict(opt).items()):
+                print(f"{k}: {v}")
+        return opt
+
+
+class TrainOptions(BaseOptions):
+    isTrain = True
+
+    def _customize(self, parser: argparse.ArgumentParser) -> None:
+        parser.set_defaults(phase="train")
+
+
+class TestOptions(BaseOptions):
+    isTrain = False
+
+    def _customize(self, parser: argparse.ArgumentParser) -> None:
+        parser.set_defaults(phase="test")

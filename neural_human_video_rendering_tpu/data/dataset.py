@@ -1,0 +1,370 @@
+"""Datasets and host-side input pipeline.
+
+Reference behavior reproduced (SURVEY.md §2 #11; reference:
+train_start/pretrain_start.sh:15-27,36,39): per-frame aligned multi-modal
+sample dicts (pose / frame / densepose / mask / flow / flow_inv), resize-only
+preprocessing (``--resize_or_crop resize --no_flip``), train/eval split via
+``--data_ratio``, dataset cap via ``--max_dataset_size``, and temporal pairs
+(frame t with frame t-1 + flow) for the flow-warp loss.
+
+TPU-first design: the host pipeline produces fixed-shape float32 NumPy
+batches; skeleton rasterization happens on device (rasterize.py) inside the
+jitted step, so the host only parses JSON and decodes images. A background
+thread prefetches the next batch while the current step runs.
+"""
+
+from __future__ import annotations
+
+import os
+import queue
+import threading
+from typing import Dict, Iterator, List, Optional, Sequence, Tuple
+
+import cv2
+import numpy as np
+
+from . import densepose as dp
+from . import keypoints as kp
+from . import laplace as lp
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
+
+
+# ----------------------------------------------------------------------
+# file I/O helpers
+# ----------------------------------------------------------------------
+
+def list_images(d: str) -> List[str]:
+    return sorted(f for f in os.listdir(d) if f.lower().endswith(IMG_EXTS))
+
+
+def load_image(path: str, size: int) -> np.ndarray:
+    """Image file -> (size, size, 3) float32 RGB in [-1, 1]."""
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if img.shape[0] != size or img.shape[1] != size:
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_AREA)
+    return img.astype(np.float32) / 255.0 * 2.0 - 1.0
+
+
+def load_mask(path: str, size: int) -> np.ndarray:
+    """Mask file -> (size, size, 1) float32 in [0, 1]."""
+    m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+    if m is None:
+        raise FileNotFoundError(path)
+    if m.shape[0] != size or m.shape[1] != size:
+        m = cv2.resize(m, (size, size), interpolation=cv2.INTER_NEAREST)
+    return (m.astype(np.float32) / 255.0)[..., None]
+
+
+def load_iuv(path: str, size: int) -> Tuple[np.ndarray, np.ndarray]:
+    """DensePose IUV image -> (parts (S,S) int32, uv (S,S,2) float32)."""
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    if img.shape[0] != size or img.shape[1] != size:
+        img = cv2.resize(img, (size, size), interpolation=cv2.INTER_NEAREST)
+    return dp.decode_iuv(img)
+
+
+def read_flo(path: str) -> np.ndarray:
+    """Middlebury .flo reader (FlowNet2 output format) -> (H, W, 2) float32."""
+    with open(path, "rb") as f:
+        magic = np.frombuffer(f.read(4), np.float32)[0]
+        if abs(magic - 202021.25) > 1e-3:
+            raise ValueError(f"bad .flo magic in {path}: {magic}")
+        w = int(np.frombuffer(f.read(4), np.int32)[0])
+        h = int(np.frombuffer(f.read(4), np.int32)[0])
+        data = np.frombuffer(f.read(h * w * 2 * 4), np.float32)
+    return data.reshape(h, w, 2).copy()
+
+
+def load_flow(path: str, size: int) -> np.ndarray:
+    """Flow file (.flo or .npy) -> (size, size, 2), rescaled to the new grid."""
+    if path.endswith(".npy"):
+        fl = np.load(path).astype(np.float32)
+    else:
+        fl = read_flo(path)
+    h, w = fl.shape[:2]
+    if h != size or w != size:
+        fl = cv2.resize(fl, (size, size), interpolation=cv2.INTER_LINEAR)
+        fl[..., 0] *= size / w
+        fl[..., 1] *= size / h
+    return fl.astype(np.float32)
+
+
+def load_texture_atlas(path: str, tile: int, rows: int = 4, cols: int = 6) -> np.ndarray:
+    """texture.jpg (rows x cols grid of part tiles) -> (24, tile, tile, 3) in [-1,1].
+
+    The atlas artifact layout matches unfold_texture.py's output
+    (reference: README.md:64).
+    """
+    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    if img is None:
+        raise FileNotFoundError(path)
+    img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32) / 255.0
+    th, tw = img.shape[0] // rows, img.shape[1] // cols
+    tiles = []
+    for r in range(rows):
+        for c in range(cols):
+            t = img[r * th:(r + 1) * th, c * tw:(c + 1) * tw]
+            if t.shape[0] != tile or t.shape[1] != tile:
+                t = cv2.resize(t, (tile, tile), interpolation=cv2.INTER_AREA)
+            tiles.append(t)
+    return np.stack(tiles).astype(np.float32) * 2.0 - 1.0
+
+
+# ----------------------------------------------------------------------
+# datasets
+# ----------------------------------------------------------------------
+
+class FrameDataset:
+    """Aligned per-frame multi-modal dataset over the reference directory contract.
+
+    Modalities are index-aligned by sorted filename within each directory
+    (the reference names frames frameNNNNN.* consistently across dirs,
+    reference: README.md:39-64). Every array is fixed-shape for jit.
+    """
+
+    def __init__(self, opt, phase: str = "train"):
+        self.opt = opt
+        self.size = opt.loadSize
+        self.pose_names = sorted(
+            f for f in os.listdir(opt.pose_path) if f.endswith(".json")
+        ) if opt.pose_path else []
+        self.img_names = list_images(opt.img_path) if opt.img_path else []
+        self.mask_names = list_images(opt.mask_path) if opt.mask_path else []
+        self.dp_names = list_images(opt.densepose_path) if opt.densepose_path else []
+        self.lap_names = lp.list_frames(opt.lapalce_path) if opt.lapalce_path else []
+        self.flow_names = (sorted(os.listdir(opt.flow_path))
+                           if opt.flow_path and os.path.isdir(opt.flow_path) else [])
+        self.flow_inv_names = (sorted(os.listdir(opt.flow_inv_path))
+                               if opt.flow_inv_path and os.path.isdir(opt.flow_inv_path) else [])
+
+        n = min(x for x in [len(self.pose_names) or None,
+                            len(self.img_names) or None,
+                            opt.max_dataset_size] if x)
+        idx = np.arange(n)
+        split = int(round(n * opt.data_ratio))
+        self.indices = idx[:split] if phase == "train" else idx[split:]
+        if len(self.indices) == 0:
+            self.indices = idx
+
+        # per-image-size pose scaling: keypoints are in original pixel coords
+        self._pose_scale: Optional[Tuple[float, float]] = None
+        if self.img_names:
+            first = cv2.imread(os.path.join(opt.img_path, self.img_names[0]))
+            if first is not None:
+                h, w = first.shape[:2]
+                self._pose_scale = (self.size / w, self.size / h)
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def _pose(self, i: int) -> np.ndarray:
+        body = kp.parse_keypoint_json(
+            os.path.join(self.opt.pose_path, self.pose_names[i]))["body"]
+        joints = kp.body25_to_coco18(body)
+        if self._pose_scale:
+            joints = kp.scale_keypoints(joints, *self._pose_scale)
+        return joints
+
+    def __getitem__(self, k: int) -> Dict[str, np.ndarray]:
+        i = int(self.indices[k])
+        opt, S = self.opt, self.size
+        out: Dict[str, np.ndarray] = {"index": np.int32(i)}
+        out["joints"] = self._pose(i)
+        prev = max(i - 1, 0)
+        out["joints_prev"] = self._pose(prev)
+        if self.img_names:
+            out["image"] = load_image(os.path.join(opt.img_path, self.img_names[i]), S)
+            out["image_prev"] = load_image(
+                os.path.join(opt.img_path, self.img_names[prev]), S)
+        if self.mask_names:
+            out["mask"] = load_mask(os.path.join(opt.mask_path, self.mask_names[i]), S)
+        if self.dp_names:
+            parts, uv = load_iuv(os.path.join(opt.densepose_path, self.dp_names[i]), S)
+            out["dp_parts"], out["dp_uv"] = parts, uv
+        if self.lap_names:
+            out["laplace"] = lp.load_laplace(
+                os.path.join(opt.lapalce_path, self.lap_names[i]), S, opt.laplace_nc)
+        if self.flow_names:
+            out["flow"] = load_flow(
+                os.path.join(opt.flow_path, self.flow_names[min(i, len(self.flow_names) - 1)]), S)
+        if self.flow_inv_names:
+            out["flow_inv"] = load_flow(
+                os.path.join(opt.flow_inv_path,
+                             self.flow_inv_names[min(i, len(self.flow_inv_names) - 1)]), S)
+        return out
+
+
+class SyntheticDataset:
+    """Deterministic synthetic stand-in for the full data contract.
+
+    Fabricates frames / densepose / mask / flow consistent with a driving
+    keypoint sequence (by default the 100 demo JSONs are NOT required — poses
+    are synthesized too). Used by tests and bench so the full train path runs
+    without the external preprocessing tools (SURVEY.md §4).
+    """
+
+    def __init__(self, opt, length: int = 16, seed: int = 0,
+                 joints: Optional[np.ndarray] = None):
+        self.opt = opt
+        self.size = opt.loadSize
+        rng = np.random.RandomState(seed)
+        if joints is None:
+            base = self._canonical_pose(self.size)
+            self.joints = np.stack([
+                self._wiggle(base, rng, t, self.size) for t in range(length)
+            ])
+        else:
+            self.joints = joints.astype(np.float32)
+        self.indices = np.arange(len(self.joints))
+        self._rng_seed = seed
+
+    @staticmethod
+    def _canonical_pose(S: int) -> np.ndarray:
+        u = S / 512.0
+        pts = np.array([
+            [256, 90], [256, 140], [216, 140], [200, 210], [196, 270],
+            [296, 140], [312, 210], [316, 270], [232, 280], [228, 360],
+            [226, 440], [280, 280], [284, 360], [286, 440], [246, 80],
+            [266, 80], [236, 88], [276, 88],
+        ], np.float32) * u
+        return np.concatenate([pts, np.ones((18, 1), np.float32)], axis=1)
+
+    @staticmethod
+    def _wiggle(base: np.ndarray, rng, t: int, S: int) -> np.ndarray:
+        out = base.copy()
+        out[:, 0] += 20 * np.sin(0.3 * t) + rng.uniform(-2, 2, 18)
+        out[:, 1] += 5 * np.cos(0.2 * t) + rng.uniform(-2, 2, 18)
+        out[:, :2] = np.clip(out[:, :2], 4, S - 4)
+        return out
+
+    def __len__(self) -> int:
+        return len(self.indices)
+
+    def __getitem__(self, k: int) -> Dict[str, np.ndarray]:
+        i = int(self.indices[k])
+        S = self.size
+        rng = np.random.RandomState(self._rng_seed * 100003 + i)
+        j = self.joints[i]
+        jp = self.joints[max(i - 1, 0)]
+
+        # frame: smooth color field + bright blob at the body bbox
+        yy, xx = np.mgrid[0:S, 0:S].astype(np.float32) / S
+        img = np.stack([np.sin(6 * xx + i * 0.1), np.cos(5 * yy),
+                        np.sin(4 * (xx + yy))], -1) * 0.3
+        cx, cy = j[:, 0].mean() / S, j[:, 1].mean() / S
+        blob = np.exp(-(((xx - cx) ** 2 + (yy - cy) ** 2) / 0.08))
+        img += blob[..., None] * 0.5
+        img = np.clip(img, -1, 1).astype(np.float32)
+
+        # mask / parts from joint proximity
+        d2 = np.full((S, S), np.inf, np.float32)
+        nearest = np.zeros((S, S), np.int32)
+        ys, xs = np.mgrid[0:S, 0:S].astype(np.float32)
+        for jid in range(18):
+            dj = (xs - j[jid, 0]) ** 2 + (ys - j[jid, 1]) ** 2
+            upd = dj < d2
+            d2[upd] = dj[upd]
+            nearest[upd] = jid
+        mask = (d2 < (0.09 * S) ** 2).astype(np.float32)
+        parts = np.where(mask > 0, (nearest % 24) + 1, 0).astype(np.int32)
+        uv = np.stack([np.mod(xs / S + 0.1 * nearest, 1.0),
+                       np.mod(ys / S + 0.07 * nearest, 1.0)], -1).astype(np.float32)
+        uv[parts == 0] = 0.0
+
+        flow = np.stack([np.broadcast_to((j - jp)[:, 0].mean(), (S, S)),
+                         np.broadcast_to((j - jp)[:, 1].mean(), (S, S))],
+                        -1).astype(np.float32)
+        return {
+            "index": np.int32(i),
+            "joints": j, "joints_prev": jp,
+            "image": img,
+            "image_prev": img,  # static-ish scene; flow ~ rigid shift
+            "mask": mask[..., None],
+            "dp_parts": parts, "dp_uv": uv,
+            "flow": flow, "flow_inv": -flow,
+        }
+
+    def texture_atlas(self) -> np.ndarray:
+        """Deterministic (24, tile, tile, 3) static atlas in [-1, 1]."""
+        t = self.opt.tex_tile
+        g = np.mgrid[0:t, 0:t].astype(np.float32) / t
+        tiles = []
+        for p in range(24):
+            tiles.append(np.stack([np.sin(3 * g[0] + p), np.cos(4 * g[1] + 0.5 * p),
+                                   np.sin(2 * (g[0] + g[1]) + 0.2 * p)], -1) * 0.8)
+        return np.stack(tiles).astype(np.float32)
+
+    def background(self) -> np.ndarray:
+        S = self.size
+        yy, xx = np.mgrid[0:S, 0:S].astype(np.float32) / S
+        return np.stack([0.2 * np.sin(3 * xx), 0.2 * np.cos(3 * yy),
+                         xx * 0.4 - 0.2], -1).astype(np.float32)
+
+
+# ----------------------------------------------------------------------
+# batching + prefetch
+# ----------------------------------------------------------------------
+
+def collate(samples: Sequence[Dict[str, np.ndarray]]) -> Dict[str, np.ndarray]:
+    keys = samples[0].keys()
+    return {k: np.stack([s[k] for s in samples]) for k in keys}
+
+
+class BatchLoader:
+    """Minimal prefetching batch iterator (the reference's DataLoader analog).
+
+    One background thread assembles batches ahead of the train loop so image
+    decode overlaps device compute (SURVEY.md §2 #11's worker processes,
+    redesigned as a thread: decode is cv2/NumPy which releases the GIL).
+    """
+
+    def __init__(self, dataset, batch_size: int, shuffle: bool = True,
+                 seed: int = 0, drop_last: bool = True, prefetch: int = 2):
+        self.ds = dataset
+        self.bs = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self.epoch = 0
+
+    def __len__(self) -> int:
+        n = len(self.ds)
+        return n // self.bs if self.drop_last else -(-n // self.bs)
+
+    def _order(self) -> np.ndarray:
+        idx = np.arange(len(self.ds))
+        if self.shuffle:
+            np.random.RandomState(self.seed + self.epoch).shuffle(idx)
+        return idx
+
+    def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        order = self._order()
+        n_batches = len(self)
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+
+        def worker():
+            try:
+                for b in range(n_batches):
+                    sel = order[b * self.bs:(b + 1) * self.bs]
+                    if len(sel) < self.bs and self.drop_last:
+                        break
+                    q.put(collate([self.ds[int(i)] for i in sel]))
+            finally:
+                q.put(None)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        self.epoch += 1

@@ -1,0 +1,47 @@
+"""LaplaceProj 3D pose-label loading.
+
+The reference optionally concatenates precomputed 3D pose-label images
+("LaplaceProj", arXiv:2003.13510) with the 2D pose input when
+``--use_laplace`` / ``--pose_plus_laplace`` (reference: README.md:47,58,
+test_start/start.sh:11,19, pre_train_tex.sh:6-7). They are per-frame image
+files in a directory; this loader reads, resizes, and normalizes them to
+[-1, 1] float32 channels that the dataset stacks onto the rasterized pose.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import List
+
+import cv2
+import numpy as np
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp", ".npy")
+
+
+def list_frames(d: str) -> List[str]:
+    return sorted(f for f in os.listdir(d) if f.lower().endswith(IMG_EXTS))
+
+
+def load_laplace(path: str, size: int, channels: int = 3) -> np.ndarray:
+    """Load one LaplaceProj frame -> (size, size, channels) float32 in [-1,1]."""
+    if path.endswith(".npy"):
+        arr = np.load(path).astype(np.float32)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+    else:
+        arr = cv2.imread(path, cv2.IMREAD_UNCHANGED)
+        if arr is None:
+            raise FileNotFoundError(path)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+        elif arr.shape[-1] >= 3:
+            arr = cv2.cvtColor(arr[..., :3], cv2.COLOR_BGR2RGB)
+        arr = arr.astype(np.float32) / 255.0 * 2.0 - 1.0
+    if arr.shape[0] != size or arr.shape[1] != size:
+        arr = cv2.resize(arr, (size, size), interpolation=cv2.INTER_LINEAR)
+        if arr.ndim == 2:
+            arr = arr[..., None]
+    if arr.shape[-1] < channels:
+        arr = np.concatenate([arr] + [arr[..., -1:]] * (channels - arr.shape[-1]), -1)
+    return arr[..., :channels].astype(np.float32)

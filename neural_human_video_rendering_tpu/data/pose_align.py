@@ -1,0 +1,105 @@
+"""Cross-person pose retargeting (graph_posenorm.py equivalent).
+
+Fits a global scale + translation mapping a source person's keypoints into a
+target person's coordinate frame, Everybody-Dance-Now style, from corpus
+statistics (reference: data/data_prep/run_alignPose.sh:1-10 —
+``--target_keypoints --source_keypoints --target_shape --source_shape
+--target_spread --source_spread --calculate_scale_translation``).
+
+Spec of record (the reference's Python is gitignored; SURVEY.md §3.5):
+  * per frame, body height = max ankle y − min head y (nose/eyes/ears), and
+    anchor = ankle midpoint;
+  * frames whose height ("spread") falls outside [spread_min, spread_max] are
+    discarded from the fit;
+  * scale s = median(target heights) / median(source heights);
+  * translation t chosen so the median source anchor maps onto the median
+    target anchor: t = anchor_tgt − s · anchor_src;
+  * every source keypoint (body, face, hands) maps x' = s·x + t.
+
+Pure CPU/NumPy, offline — matches the reference's process boundary.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+from . import keypoints as kp
+
+# BODY_25 indices
+_HEAD = (0, 15, 16, 17, 18)   # nose, eyes, ears
+_ANKLES = (11, 14)            # RAnkle, LAnkle
+_CONF = 0.05
+
+
+def frame_stats(body25: np.ndarray) -> Optional[Tuple[float, np.ndarray]]:
+    """(25,3) -> (height, ankle-midpoint anchor (2,)) or None if unusable."""
+    head = body25[list(_HEAD)]
+    ank = body25[list(_ANKLES)]
+    head = head[head[:, 2] > _CONF]
+    ank = ank[ank[:, 2] > _CONF]
+    if len(head) == 0 or len(ank) == 0:
+        return None
+    y_top = float(head[:, 1].min())
+    y_bot = float(ank[:, 1].max())
+    if y_bot <= y_top:
+        return None
+    anchor = ank[:, :2].mean(axis=0)
+    return y_bot - y_top, anchor
+
+
+def corpus_stats(pose_dir: str, spread: Tuple[float, float]) -> Tuple[float, np.ndarray]:
+    """Median (height, anchor) over all usable frames within the spread range."""
+    names = sorted(f for f in os.listdir(pose_dir) if f.endswith(".json"))
+    heights, anchors = [], []
+    for n in names:
+        body = kp.parse_keypoint_json(os.path.join(pose_dir, n))["body"]
+        st = frame_stats(body)
+        if st is None:
+            continue
+        h, a = st
+        if spread[0] <= h <= spread[1]:
+            heights.append(h)
+            anchors.append(a)
+    if not heights:
+        raise ValueError(f"no usable frames in {pose_dir} within spread {spread}")
+    return float(np.median(heights)), np.median(np.stack(anchors), axis=0)
+
+
+def fit_scale_translation(target_dir: str, source_dir: str,
+                          target_spread: Tuple[float, float] = (0.0, 1e9),
+                          source_spread: Tuple[float, float] = (0.0, 1e9),
+                          ) -> Tuple[float, np.ndarray]:
+    """Fit global (s, t) so source skeletons land in the target frame."""
+    th, ta = corpus_stats(target_dir, target_spread)
+    sh, sa = corpus_stats(source_dir, source_spread)
+    s = th / sh
+    t = ta - s * sa
+    return s, t
+
+
+def apply_scale_translation(person: Dict[str, np.ndarray], s: float,
+                            t: np.ndarray) -> Dict[str, np.ndarray]:
+    """x' = s*x + t on every keypoint group; confidence untouched."""
+    out = {}
+    for key, arr in person.items():
+        a = arr.copy()
+        has = a[:, 2] > 0
+        a[has, 0] = s * a[has, 0] + t[0]
+        a[has, 1] = s * a[has, 1] + t[1]
+        out[key] = a
+    return out
+
+
+def align_pose_dir(source_dir: str, results_dir: str, s: float, t: np.ndarray) -> int:
+    """Rewrite every source keypoint JSON into results_dir, retargeted."""
+    os.makedirs(results_dir, exist_ok=True)
+    names = sorted(f for f in os.listdir(source_dir) if f.endswith(".json"))
+    for n in names:
+        person = kp.parse_keypoint_json(os.path.join(source_dir, n))
+        moved = apply_scale_translation(person, s, t)
+        kp.write_keypoint_json(os.path.join(results_dir, n), moved["body"],
+                               moved["face"], moved["hand_l"], moved["hand_r"])
+    return len(names)

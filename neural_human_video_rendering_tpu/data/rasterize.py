@@ -1,0 +1,99 @@
+"""Pose-label rasterization as jit-able JAX ops.
+
+The reference rasterizes OpenPose keypoints into a 3-channel skeleton image
+(``--input_nc 3`` with JSON pose inputs, reference: test_start/start.sh:24,
+train_start/pretrain_start.sh:25) plus optional Gaussian joint heatmaps.
+Instead of per-limb cv2.line calls (host-side, serial), rasterization here is
+a single vectorized distance-to-segment computation over the full pixel grid —
+fixed shapes, no host sync, fuses into the forward pass under jit.
+
+TPU notes: all tensors are (H, W, C) fp32 in [-1, 1]; the (L, H, W) distance
+field is elementwise VPU work that XLA fuses into one pass.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .keypoints import COCO18_LIMBS, LIMB_COLORS, N_COCO18
+
+_LIMBS_A = np.array([a for a, _ in COCO18_LIMBS], np.int32)
+_LIMBS_B = np.array([b for _, b in COCO18_LIMBS], np.int32)
+
+
+def _point_segment_dist2(px, py, ax, ay, bx, by):
+    """Squared distance from pixel grid (H,W) to segment a-b (scalars)."""
+    abx, aby = bx - ax, by - ay
+    apx, apy = px - ax, py - ay
+    denom = abx * abx + aby * aby
+    t = jnp.clip((apx * abx + apy * aby) / jnp.maximum(denom, 1e-6), 0.0, 1.0)
+    dx = apx - t * abx
+    dy = apy - t * aby
+    return dx * dx + dy * dy
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "radius", "conf_thresh"))
+def render_skeleton(joints: jnp.ndarray, height: int, width: int,
+                    radius: float = 4.0, conf_thresh: float = 0.05) -> jnp.ndarray:
+    """Rasterize COCO-18 joints into an RGB skeleton label image.
+
+    Args:
+      joints: (18, 3) array of (x, y, confidence) in pixel coords of the
+        target canvas.
+      height/width: output canvas size (static).
+      radius: limb capsule half-width in pixels.
+      conf_thresh: joints below this confidence do not draw.
+
+    Returns:
+      (H, W, 3) float32 image in [-1, 1]; background is -1, limbs carry the
+      OpenPose rainbow color per limb (nearest limb wins on overlap).
+    """
+    joints = joints.astype(jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :]
+    py = jnp.broadcast_to(ys, (height, width))
+    px = jnp.broadcast_to(xs, (height, width))
+
+    a = joints[_LIMBS_A]  # (L, 3)
+    b = joints[_LIMBS_B]
+
+    def limb_dist(ai, bi):
+        d2 = _point_segment_dist2(px, py, ai[0], ai[1], bi[0], bi[1])
+        valid = (ai[2] > conf_thresh) & (bi[2] > conf_thresh)
+        return jnp.where(valid, d2, jnp.inf)
+
+    d2 = jax.vmap(limb_dist)(a, b)            # (L, H, W)
+    best = jnp.argmin(d2, axis=0)             # (H, W)
+    best_d2 = jnp.min(d2, axis=0)
+    hit = best_d2 <= radius * radius
+    colors = jnp.asarray(LIMB_COLORS)         # (L, 3) in [0,1]
+    img = colors[best]                        # (H, W, 3)
+    img = jnp.where(hit[..., None], img, 0.0)
+    return img * 2.0 - 1.0
+
+
+@functools.partial(jax.jit, static_argnames=("height", "width", "sigma"))
+def joint_heatmaps(joints: jnp.ndarray, height: int, width: int,
+                   sigma: float = 6.0) -> jnp.ndarray:
+    """(18,3) joints -> (H, W, 18) Gaussian heatmaps (0 where conf==0)."""
+    joints = joints.astype(jnp.float32)
+    ys = jnp.arange(height, dtype=jnp.float32)[:, None, None]
+    xs = jnp.arange(width, dtype=jnp.float32)[None, :, None]
+    jx = joints[None, None, :, 0]
+    jy = joints[None, None, :, 1]
+    conf = joints[None, None, :, 2]
+    d2 = (xs - jx) ** 2 + (ys - jy) ** 2
+    hm = jnp.exp(-d2 / (2.0 * sigma * sigma))
+    return jnp.where(conf > 0.05, hm, 0.0)
+
+
+def render_skeleton_batch(joints: jnp.ndarray, height: int, width: int,
+                          radius: float = 4.0) -> jnp.ndarray:
+    """(B,18,3) -> (B,H,W,3) batched skeleton render."""
+    fn = functools.partial(render_skeleton, height=height, width=width, radius=radius)
+    return jax.vmap(fn)(joints)

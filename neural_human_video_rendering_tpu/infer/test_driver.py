@@ -1,0 +1,104 @@
+"""Inference / pose-transfer driver (test.py equivalent, SURVEY.md §3.1).
+
+Reference control flow reproduced (test_start/start.sh:6-28): load target
+assets (bg.jpg, texture.jpg), align the driving keypoints to the target
+person using --pose_tgt_path corpus statistics, load the epoch checkpoint,
+then run the jitted pose -> IUV -> texture-warp -> composite forward per
+frame batch and write frames + an HTML gallery to --results_dir.
+
+TPU-native difference: frames run in fixed-size batches through one compiled
+forward (no per-frame Python in the hot loop); JSON parsing and PNG encode
+stay on host threads.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import dataset as dsm
+from ..data import keypoints as kp
+from ..data import laplace as lp
+from ..data import pose_align
+from ..train.state import create_train_state
+from ..train.steps import make_forward_fn
+from ..utils import checkpoint as ckpt
+from ..utils.html import HTMLGallery
+from ..utils.image import save_image
+
+
+def run_inference(opt, batch_size: int = 4,
+                  max_frames: Optional[int] = None) -> int:
+    """Render the driving sequence; returns number of frames written."""
+    S = opt.loadSize
+
+    # driving keypoints (+ optional alignment to the target person)
+    names, joints = kp.load_pose_dir(opt.pose_path)
+    if opt.pose_tgt_path and os.path.isdir(opt.pose_tgt_path):
+        s, t = pose_align.fit_scale_translation(opt.pose_tgt_path, opt.pose_path)
+        joints = joints.copy()
+        has = joints[..., 2] > 0
+        joints[..., 0] = np.where(has, s * joints[..., 0] + t[0], joints[..., 0])
+        joints[..., 1] = np.where(has, s * joints[..., 1] + t[1], joints[..., 1])
+        print(f"[align] scale {s:.3f}, translation {t}", flush=True)
+    # keypoints are in source pixel coords; assume square source canvas the
+    # size of the max coordinate and map onto the loadSize canvas
+    extent = max(float(np.max(joints[..., :2])), 1.0)
+    scale = S / max(extent, S) if extent > S else 1.0
+    if scale != 1.0:
+        joints[..., :2] *= scale
+
+    n = len(names) if max_frames is None else min(len(names), max_frames)
+    n = min(n, opt.how_many)
+
+    # target assets + params
+    tex = (dsm.load_texture_atlas(opt.texture_path, opt.tex_tile,
+                                  opt.tex_rows, opt.tex_cols)
+           if opt.texture_path and os.path.isfile(opt.texture_path)
+           else np.zeros((opt.n_parts, opt.tex_tile, opt.tex_tile, 3), np.float32))
+    bg = (dsm.load_image(opt.bg_path, S)
+          if opt.bg_path and os.path.isfile(opt.bg_path)
+          else np.zeros((S, S, 3), np.float32))
+    bundle = create_train_state(opt, jax.random.PRNGKey(opt.seed), tex, bg,
+                                with_discriminator=False)
+    state = bundle["state"]
+    g_params = state.g_params
+    run_dir = opt.run_dir
+    if os.path.isdir(run_dir) and ckpt.latest_epoch(run_dir, "G"):
+        g_params = ckpt.load_net(run_dir, "G", opt.which_epoch, g_params)
+        print(f"[ckpt] loaded G epoch {opt.which_epoch} from {run_dir}", flush=True)
+    else:
+        print("[ckpt] no checkpoint found -> random-init demo render", flush=True)
+
+    lap_files = (lp.list_frames(opt.lapalce_path)
+                 if opt.lapalce_path and os.path.isdir(opt.lapalce_path) else [])
+
+    fwd = make_forward_fn(opt, bundle["renderer"])
+    os.makedirs(opt.results_dir, exist_ok=True)
+    gallery = HTMLGallery(opt.results_dir, f"{opt.name} @ {opt.which_epoch}")
+    written = 0
+    for start in range(0, n, batch_size):
+        sel = list(range(start, min(start + batch_size, n)))
+        # pad the tail so the compiled forward sees one batch shape
+        padded = sel + [sel[-1]] * (batch_size - len(sel))
+        jb = jnp.asarray(joints[padded])
+        lap = None
+        if opt.use_laplace and lap_files:
+            lap = jnp.asarray(np.stack([
+                lp.load_laplace(os.path.join(opt.lapalce_path,
+                                             lap_files[min(i, len(lap_files) - 1)]),
+                                S, opt.laplace_nc) for i in padded]))
+        outs = fwd(g_params, (state.static_tex, state.bg, state.tex_mask), jb, lap)
+        fakes = np.asarray(outs["fake"])
+        for j, i in enumerate(sel):
+            fname = f"{os.path.splitext(names[i])[0].replace('_keypoints','')}_synthesized.jpg"
+            save_image(os.path.join(opt.results_dir, "images", fname), fakes[j])
+            gallery.add_images(names[i], [("synthesized", fname)])
+            written += 1
+    gallery.save()
+    print(f"[infer] wrote {written} frames -> {opt.results_dir}", flush=True)
+    return written

@@ -1,0 +1,60 @@
+"""Reconstruction / densepose-supervision losses (SURVEY.md §2 #18).
+
+Weights from the reference launcher: --lambda_L2 500 --lambda_UV 1000
+--lambda_Prob 10 --use_densepose_loss (train_start/pretrain_start.sh:31-34).
+All reductions in float32.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+def l2_loss(fake: jnp.ndarray, real: jnp.ndarray) -> jnp.ndarray:
+    """Mean squared reconstruction error on the composite frame."""
+    return jnp.mean((fake.astype(jnp.float32) - real.astype(jnp.float32)) ** 2)
+
+
+def uv_loss(uv_pred: jnp.ndarray, dp_uv: jnp.ndarray,
+            dp_parts: jnp.ndarray) -> jnp.ndarray:
+    """L1 on predicted UV vs DensePose pseudo-GT, at the GT part only.
+
+    uv_pred: (B,H,W,P,2); dp_uv: (B,H,W,2) in [0,1]; dp_parts: (B,H,W) int,
+    0 = background. For each foreground pixel, only the channel group of its
+    GT part is supervised (one-hot gather, no dynamic indexing).
+    """
+    P = uv_pred.shape[3]
+    onehot = jax.nn.one_hot(dp_parts - 1, P, dtype=jnp.float32)     # (B,H,W,P)
+    pred = jnp.sum(uv_pred.astype(jnp.float32) * onehot[..., None], axis=3)
+    fg = (dp_parts > 0).astype(jnp.float32)[..., None]
+    err = jnp.abs(pred - dp_uv.astype(jnp.float32)) * fg
+    return jnp.sum(err) / jnp.maximum(jnp.sum(fg) * 2.0, 1.0)
+
+
+def part_ce_loss(logits: jnp.ndarray, dp_parts: jnp.ndarray,
+                 mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """Softmax cross-entropy of part logits vs DensePose part index.
+
+    logits: (B,H,W,P+1) with background at channel 0; dp_parts: (B,H,W).
+    Optional mask (B,H,W,1) restricts supervision (pretrain uses the person
+    segmentation mask, reference: pretrainTrans.sh:7).
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    picked = jnp.take_along_axis(logp, dp_parts[..., None], axis=-1)[..., 0]
+    if mask is not None:
+        m = mask[..., 0].astype(jnp.float32)
+        return -jnp.sum(picked * m) / jnp.maximum(jnp.sum(m), 1.0)
+    return -jnp.mean(picked)
+
+
+def mask_loss(pred_mask: jnp.ndarray, gt_mask: jnp.ndarray) -> jnp.ndarray:
+    """L1 between the predicted soft mask and the (noisy) segmentation GT.
+
+    Weighted low so the mask can refine past the noisy GT online
+    (reference: README.md:60).
+    """
+    return jnp.mean(jnp.abs(pred_mask.astype(jnp.float32)
+                            - gt_mask.astype(jnp.float32)))

@@ -1,0 +1,125 @@
+"""Generator networks: GlobalGenerator trunk, TransG, TexG, BGNet.
+
+Behavioral spec from SURVEY.md §2 #12/#13/#16 (reference flag surface:
+--n_blocks_translate pretrainTrans.sh:13; --n_downsample_global
+--n_blocks_global --ngf_global test_start/start.sh:15-17; --n_downsample_bg
+--n_blocks_bg test_start/start.sh:20-21). Architectures are pix2pixHD-style
+conv encoder / ResNet-blocks / decoder stacks, rebuilt in NHWC flax.linen.
+
+Outputs:
+  TransG:  pose labels -> IUV: part logits (P+1, bg at 0) + per-part UV in
+           [0,1] (2P channels).
+  TexG:    pose labels -> per-part dynamic-texture residual at atlas-tile
+           resolution, (B, P, T, T, 3) added onto the static atlas.
+  BGNet:   static background -> refined background (online bg refinement,
+           reference: README.md:15,52).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import ConvNormRelu, ResnetBlock, Upsample
+
+Dtype = Any
+
+
+class GlobalGenerator(nn.Module):
+    """pix2pixHD GlobalGenerator: c7s1-ngf, n_down x d-stride2, n_blocks x
+    ResNet, n_down x u-stride2, c7s1-out."""
+    out_nc: int
+    ngf: int = 64
+    n_downsampling: int = 4
+    n_blocks: int = 9
+    final_tanh: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(self.dtype)
+        x = ConvNormRelu(self.ngf, 7, dtype=self.dtype)(x)
+        for i in range(self.n_downsampling):
+            x = ConvNormRelu(self.ngf * 2 ** (i + 1), 3, stride=2,
+                             dtype=self.dtype)(x)
+        for _ in range(self.n_blocks):
+            x = ResnetBlock(self.ngf * 2 ** self.n_downsampling,
+                            dtype=self.dtype)(x)
+        for i in range(self.n_downsampling):
+            x = Upsample(self.ngf * 2 ** (self.n_downsampling - i - 1),
+                         dtype=self.dtype)(x)
+        x = ConvNormRelu(self.out_nc, 7, use_norm=False, use_relu=False,
+                         dtype=self.dtype)(x)
+        x = x.astype(jnp.float32)
+        return jnp.tanh(x) if self.final_tanh else x
+
+
+class TransG(nn.Module):
+    """UV/translation generator (SURVEY.md §2 #12): pose -> IUV heads."""
+    n_parts: int = 24
+    ngf: int = 64
+    n_downsampling: int = 4
+    n_blocks: int = 9
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pose: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """pose (B,H,W,Cp) -> (part_logits (B,H,W,P+1), uv (B,H,W,P,2))."""
+        out_nc = (1 + self.n_parts) + 2 * self.n_parts
+        raw = GlobalGenerator(out_nc, self.ngf, self.n_downsampling,
+                              self.n_blocks, final_tanh=False,
+                              dtype=self.dtype)(pose)
+        logits = raw[..., : 1 + self.n_parts]
+        uv = raw[..., 1 + self.n_parts:]
+        B, H, W = uv.shape[0], uv.shape[1], uv.shape[2]
+        uv = uv.reshape(B, H, W, self.n_parts, 2)
+        uv = 0.5 * (jnp.tanh(uv) + 1.0)   # pinned: UV in [0,1]
+        return logits, uv
+
+
+class TexG(nn.Module):
+    """Dynamic texture generator, 'part' variant (SURVEY.md §2 #13).
+
+    Encodes the pose at input resolution, decodes a (P*3)-channel map at
+    atlas-tile resolution: each channel group is one part's dynamic residual
+    over the static atlas tile. The pose input is average-pooled to the tile
+    size first so all conv work happens at tile resolution (TPU-friendly:
+    fixed small spatial dims, big channel dim on the lanes).
+    """
+    n_parts: int = 24
+    tile: int = 128
+    ngf: int = 64
+    n_downsampling: int = 2
+    n_blocks: int = 5
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pose: jnp.ndarray) -> jnp.ndarray:
+        """pose (B,H,W,Cp) -> residual (B, P, tile, tile, 3) in [-1,1]."""
+        B, H = pose.shape[0], pose.shape[1]
+        if H != self.tile:
+            # resize pose context to tile resolution (H must be >= tile)
+            factor = max(H // self.tile, 1)
+            pose = nn.avg_pool(pose, (factor, factor), strides=(factor, factor))
+        out = GlobalGenerator(self.n_parts * 3, self.ngf, self.n_downsampling,
+                              self.n_blocks, final_tanh=True,
+                              dtype=self.dtype)(pose)
+        out = out.reshape(B, self.tile, self.tile, self.n_parts, 3)
+        return jnp.moveaxis(out, 3, 1)    # (B, P, T, T, 3)
+
+
+class BGNet(nn.Module):
+    """Background refinement net (SURVEY.md §2 #16): bg + residual."""
+    ngf: int = 32
+    n_downsampling: int = 2
+    n_blocks: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, bg: jnp.ndarray) -> jnp.ndarray:
+        """bg (B,H,W,3) static background -> refined background in [-1,1]."""
+        res = GlobalGenerator(3, self.ngf, self.n_downsampling, self.n_blocks,
+                              final_tanh=True, dtype=self.dtype)(bg)
+        return jnp.clip(bg + res, -1.0, 1.0)

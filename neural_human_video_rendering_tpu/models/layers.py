@@ -1,0 +1,85 @@
+"""Conv building blocks (the network library, SURVEY.md §2 #14).
+
+pix2pixHD-lineage blocks — reflection-padded convs, instance norm (no
+affine), ResNet blocks — rebuilt as flax.linen modules in NHWC layout (the
+TPU-native conv layout: channels on the 128-lane minor dimension feeds the
+MXU without transposes). Compute dtype is configurable (bf16 by default via
+Options.dtype); parameters stay float32.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+Dtype = Any
+
+
+class InstanceNorm(nn.Module):
+    """Per-sample, per-channel normalization over H, W (affine=False,
+    matching pix2pixHD's InstanceNorm2d default)."""
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
+        var = jnp.var(x, axis=(-3, -2), keepdims=True)
+        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+
+
+def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
+
+
+class ConvNormRelu(nn.Module):
+    """ReflectPad -> Conv -> InstanceNorm -> ReLU."""
+    features: int
+    kernel: int = 3
+    stride: int = 1
+    pad: Optional[int] = None
+    use_norm: bool = True
+    use_relu: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        pad = self.kernel // 2 if self.pad is None else self.pad
+        if pad:
+            x = reflect_pad(x, pad)
+        x = nn.Conv(self.features, (self.kernel, self.kernel),
+                    strides=(self.stride, self.stride), padding="VALID",
+                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        if self.use_norm:
+            x = InstanceNorm()(x.astype(jnp.float32)).astype(self.dtype)
+        if self.use_relu:
+            x = nn.relu(x)
+        return x
+
+
+class ResnetBlock(nn.Module):
+    """pix2pixHD ResnetBlock: two reflect-padded 3x3 convs with a skip."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        h = ConvNormRelu(self.features, 3, dtype=self.dtype)(x)
+        h = ConvNormRelu(self.features, 3, use_relu=False, dtype=self.dtype)(h)
+        return x + h
+
+
+class Upsample(nn.Module):
+    """Stride-2 transposed conv upsampling (pix2pixHD decoder stage)."""
+    features: int
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
+                             padding="SAME", dtype=self.dtype,
+                             param_dtype=jnp.float32)(x)
+        x = InstanceNorm()(x.astype(jnp.float32)).astype(self.dtype)
+        return nn.relu(x)

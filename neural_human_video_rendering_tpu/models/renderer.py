@@ -1,0 +1,115 @@
+"""The flagship composed model: pose -> IUV -> textured foreground -> frame.
+
+Composes TransG + TexG + the static texture atlas + the fused texture-warp
+op + BGNet + the mask compositor into one flax module (SURVEY.md §3.1's hot
+loop as a single jittable function). Parameters are namespaced per subnet
+("TransG" / "TexG" / "BGNet") so stage-1 pretrained TransG params load
+directly into stage-2 state (reference: --load_pretrain_TransG /
+--which_epoch_TransG, train_start/pretrain_start.sh:29-30).
+
+The predicted soft mask (1 - background probability) composites foreground
+over the refined background and is itself trained past the noisy
+segmentation GT — the reference's online mask refinement (README.md:60).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops.pallas_warp import texture_warp
+from .generators import BGNet, TexG, TransG
+
+Dtype = Any
+
+
+class NeuralRenderer(nn.Module):
+    """Full generator stack (everything the discriminator judges)."""
+    n_parts: int = 24
+    tex_tile: int = 128
+    # TransG sizing (reference: pretrainTrans.sh:13)
+    transg_ngf: int = 64
+    transg_downs: int = 4
+    transg_blocks: int = 9
+    # TexG sizing (reference: test_start/start.sh:15-17)
+    texg_ngf: int = 48
+    texg_downs: int = 2
+    texg_blocks: int = 10
+    # BG sizing (reference: test_start/start.sh:20-21)
+    bg_downs: int = 2
+    bg_blocks: int = 2
+    use_texg: bool = True
+    use_bg: bool = True
+    use_mask_texture: bool = False
+    use_pallas: bool = True
+    warp_k: int = 4
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, pose: jnp.ndarray, bg: jnp.ndarray,
+                 static_tex: jnp.ndarray,
+                 tex_mask: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+        """Render one batch of frames.
+
+        Args:
+          pose: (B, H, W, Cp) rasterized pose labels (+LaplaceProj channels).
+          bg: (B, H, W, 3) static background in [-1, 1].
+          static_tex: (B, P, T, T, 3) static per-part atlas in [-1, 1].
+          tex_mask: optional (P, T, T, 1) validity mask of atlas texels
+            (--use_mask_texture, reference: test_start/start.sh:18).
+
+        Returns dict: fake, fg, mask, probs, uv, logits, texture, bg_refined.
+        """
+        logits, uv = TransG(self.n_parts, self.transg_ngf, self.transg_downs,
+                            self.transg_blocks, dtype=self.dtype,
+                            name="TransG")(pose)
+        probs = nn.softmax(logits, axis=-1)
+
+        texture = static_tex
+        if self.use_texg:
+            residual = TexG(self.n_parts, self.tex_tile, self.texg_ngf,
+                            self.texg_downs, self.texg_blocks,
+                            dtype=self.dtype, name="TexG")(pose)
+            if self.use_mask_texture and tex_mask is not None:
+                residual = residual * tex_mask[None]
+            texture = jnp.clip(static_tex + residual, -1.0, 1.0)
+
+        fg = texture_warp(texture, uv, probs, use_pallas=self.use_pallas,
+                          k=self.warp_k)
+
+        bg_refined = bg
+        if self.use_bg:
+            bg_refined = BGNet(32, self.bg_downs, self.bg_blocks,
+                               dtype=self.dtype, name="BGNet")(bg)
+
+        mask = (1.0 - probs[..., :1])          # (B, H, W, 1) soft fg mask
+        fake = mask * fg + (1.0 - mask) * bg_refined
+        return {
+            "fake": fake, "fg": fg, "mask": mask, "probs": probs,
+            "logits": logits, "uv": uv, "texture": texture,
+            "bg_refined": bg_refined,
+        }
+
+
+def renderer_from_options(opt) -> NeuralRenderer:
+    """Build the flagship model from the reference-compatible Options."""
+    import jax.numpy as jnp  # local to avoid cycle at import time
+    dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
+    return NeuralRenderer(
+        n_parts=opt.n_parts,
+        tex_tile=opt.tex_tile,
+        transg_ngf=opt.ngf,
+        transg_downs=opt.n_downsample_translate,
+        transg_blocks=opt.n_blocks_translate,
+        texg_ngf=opt.ngf_global,
+        texg_downs=opt.n_downsample_global,
+        texg_blocks=opt.n_blocks_global,
+        bg_downs=opt.n_downsample_bg,
+        bg_blocks=opt.n_blocks_bg,
+        use_mask_texture=opt.use_mask_texture,
+        use_pallas=opt.use_pallas_warp,
+        warp_k=opt.warp_topk,
+        dtype=dtype,
+    )

@@ -1,0 +1,231 @@
+"""Stage drivers: the bodies behind train.py / pre_train.py / pre_train_tex.py.
+
+Each follows its reference call stack (SURVEY.md §3.2-3.4): build dataset ->
+build nets/state (with partial TransG restore for stage 2) -> jit step ->
+epoch loop -> per-epoch checkpoints under {checkpoints_dir}/{name}/.
+
+When the multi-modal data directories are absent (this environment has no
+OpenPose/DensePose/FlowNet2 outputs), drivers fall back to the deterministic
+SyntheticDataset so every stage stays runnable end-to-end — same shapes,
+same step, same artifacts.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import dataset as dsm
+from ..models.generators import TexG, TransG
+from ..parallel.mesh import make_mesh, replicate
+from ..utils import checkpoint as ckpt
+from .loop import run_training
+from .state import create_train_state, make_optimizer
+from .steps import (make_pretrain_tex_step, make_pretrain_uv_step,
+                    make_train_step)
+
+
+def _dataset(opt, phase: str = "train"):
+    if opt.img_path and os.path.isdir(opt.img_path):
+        return dsm.FrameDataset(opt, phase)
+    print("[data] no real dataset dirs found -> SyntheticDataset", flush=True)
+    return dsm.SyntheticDataset(opt, length=max(opt.batchSize * 4, 16),
+                                seed=opt.seed)
+
+
+def _assets(opt, ds):
+    """(static_tex (P,T,T,3), bg (S,S,3)) from files or synthetic."""
+    if opt.texture_path and os.path.isfile(opt.texture_path):
+        tex = dsm.load_texture_atlas(opt.texture_path, opt.tex_tile,
+                                     opt.tex_rows, opt.tex_cols)
+    elif hasattr(ds, "texture_atlas"):
+        tex = ds.texture_atlas()
+    else:
+        tex = np.zeros((opt.n_parts, opt.tex_tile, opt.tex_tile, 3), np.float32)
+    if opt.bg_path and os.path.isfile(opt.bg_path):
+        bg = dsm.load_image(opt.bg_path, opt.loadSize)
+    elif hasattr(ds, "background"):
+        bg = ds.background()
+    else:
+        bg = np.zeros((opt.loadSize, opt.loadSize, 3), np.float32)
+    return tex, bg
+
+
+def _device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
+    return {k: jnp.asarray(v) for k, v in batch.items()}
+
+
+# ----------------------------------------------------------------------
+# stage 2: end-to-end person-specific training (train.py)
+# ----------------------------------------------------------------------
+
+def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None):
+    ds = _dataset(opt, "train")
+    loader = dsm.BatchLoader(ds, opt.batchSize, shuffle=not opt.serial_batches,
+                             seed=opt.seed)
+    tex, bg = _assets(opt, ds)
+    bundle = create_train_state(opt, jax.random.PRNGKey(opt.seed), tex, bg)
+    state = bundle["state"]
+
+    run_dir = opt.run_dir
+    if opt.continue_train:
+        ep = ckpt.latest_epoch(run_dir, "G")
+        if ep is not None:
+            state = state.replace(
+                g_params=ckpt.load_net(run_dir, "G", "latest", state.g_params),
+                d_params=ckpt.load_net(run_dir, "D", "latest", state.d_params))
+            print(f"[ckpt] resumed from epoch {ep}", flush=True)
+    elif opt.load_pretrain_TransG:
+        state = state.replace(g_params=ckpt.load_transg_into(
+            state.g_params, opt.load_pretrain_TransG, opt.which_epoch_TransG))
+        print(f"[ckpt] loaded pretrained TransG from "
+              f"{opt.load_pretrain_TransG} @ {opt.which_epoch_TransG}", flush=True)
+
+    step = make_train_step(opt, bundle["renderer"], bundle["disc"],
+                           bundle["vgg_params"], bundle["g_tx"], bundle["d_tx"])
+
+    def step_fn(st, batch):
+        return step(st, _device_batch(batch))
+
+    def save_fn(st, epoch):
+        ckpt.save_net(run_dir, "G", epoch, st.g_params)
+        ckpt.save_net(run_dir, "D", epoch, st.d_params)
+        ckpt.save_net(run_dir, "TransG", epoch, st.g_params["TransG"])
+        print(f"[ckpt] saved epoch {epoch} -> {run_dir}", flush=True)
+
+    fwd = None
+
+    def visuals_fn(st, batch):
+        nonlocal fwd
+        from .steps import make_forward_fn
+        if fwd is None:
+            fwd = make_forward_fn(opt, bundle["renderer"])
+        outs = fwd(st.g_params, (st.static_tex, st.bg, st.tex_mask),
+                   jnp.asarray(batch["joints"][:1]),
+                   jnp.asarray(batch["laplace"][:1]) if "laplace" in batch else None)
+        vis = {"synthesized": np.asarray(outs["fake"][0]),
+               "foreground": np.asarray(outs["fg"][0]),
+               "mask": np.asarray(outs["mask"][0]) * 2 - 1,
+               "bg_refined": np.asarray(outs["bg_refined"][0])}
+        if "image" in batch:
+            vis["real"] = batch["image"][0]
+        return vis
+
+    n_epochs = epochs if epochs is not None else (
+        opt.niter if opt.no_decay else opt.niter + opt.niter_decay)
+    state = run_training(opt, loader, step_fn, state, n_epochs, save_fn,
+                         visuals_fn)
+    return state
+
+
+# ----------------------------------------------------------------------
+# stage 1: person-agnostic UV pretrain (pre_train.py)
+# ----------------------------------------------------------------------
+
+def run_pretrain_uv(opt, epochs: Optional[int] = None):
+    ds = _dataset(opt, "train")
+    loader = dsm.BatchLoader(ds, opt.batchSize, seed=opt.seed)
+    dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
+    transg = TransG(opt.n_parts, opt.ngf, opt.n_downsample_translate,
+                    opt.n_blocks_translate, dtype=dtype)
+    S = opt.loadSize
+    params = transg.init(jax.random.PRNGKey(opt.seed),
+                         jnp.zeros((1, S, S, opt.pose_nc)))["params"]
+    tx = make_optimizer(opt, len(loader))
+    opt_state = tx.init(params)
+    run_dir = opt.run_dir
+
+    if opt.continue_train:
+        ep = ckpt.latest_epoch(run_dir, "TransG")
+        if ep is not None:
+            params = ckpt.load_net(run_dir, "TransG", "latest", params)
+            print(f"[ckpt] resumed from epoch {ep}", flush=True)
+
+    step = make_pretrain_uv_step(opt, transg, tx)
+
+    def step_fn(carry, batch):
+        params, opt_state = carry
+        params, opt_state, losses = step(params, opt_state,
+                                         _device_batch(batch))
+        return (params, opt_state), losses
+
+    def save_fn(carry, epoch):
+        ckpt.save_net(run_dir, "TransG", epoch, carry[0])
+        print(f"[ckpt] saved epoch {epoch} -> {run_dir}", flush=True)
+
+    n_epochs = epochs if epochs is not None else opt.niter
+    return run_training(opt, loader, step_fn, (params, opt_state), n_epochs,
+                        save_fn)
+
+
+# ----------------------------------------------------------------------
+# optional stage: texture pretrain (pre_train_tex.py)
+# ----------------------------------------------------------------------
+
+class _TexDataset:
+    """Wraps a base dataset, adding per-frame part-texture GT.
+
+    Real data: part_texture_path dir of per-frame atlas images (reference:
+    pre_train_tex.sh:8). Synthetic: GT = static atlas + deterministic wave.
+    """
+
+    def __init__(self, opt, base):
+        self.opt = opt
+        self.base = base
+        self.files = (sorted(os.listdir(opt.part_texture_path))
+                      if opt.part_texture_path and os.path.isdir(opt.part_texture_path)
+                      else [])
+        self._static = (base.texture_atlas() if hasattr(base, "texture_atlas")
+                        else np.zeros((opt.n_parts, opt.tex_tile, opt.tex_tile, 3),
+                                      np.float32))
+
+    def __len__(self):
+        return len(self.base)
+
+    def __getitem__(self, k):
+        s = self.base[k]
+        if self.files:
+            path = os.path.join(self.opt.part_texture_path,
+                                self.files[min(int(s["index"]), len(self.files) - 1)])
+            s["part_texture"] = dsm.load_texture_atlas(
+                path, self.opt.tex_tile, self.opt.tex_rows, self.opt.tex_cols)
+        else:
+            i = int(s["index"])
+            s["part_texture"] = np.clip(
+                self._static + 0.1 * np.sin(0.3 * i), -1, 1).astype(np.float32)
+        return s
+
+
+def run_pretrain_tex(opt, epochs: Optional[int] = None):
+    base = _dataset(opt, "train")
+    ds = _TexDataset(opt, base)
+    loader = dsm.BatchLoader(ds, opt.batchSize, seed=opt.seed)
+    tex, _ = _assets(opt, base)
+    dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
+    texg = TexG(opt.n_parts, opt.tex_tile, opt.ngf_global,
+                opt.n_downsample_global, opt.n_blocks_global, dtype=dtype)
+    S = opt.loadSize
+    params = texg.init(jax.random.PRNGKey(opt.seed),
+                       jnp.zeros((1, S, S, opt.pose_nc)))["params"]
+    tx = make_optimizer(opt, len(loader))
+    opt_state = tx.init(params)
+    run_dir = opt.run_dir
+    step = make_pretrain_tex_step(opt, texg, tx, tex)
+
+    def step_fn(carry, batch):
+        params, opt_state = carry
+        params, opt_state, losses = step(params, opt_state,
+                                         _device_batch(batch))
+        return (params, opt_state), losses
+
+    def save_fn(carry, epoch):
+        ckpt.save_net(run_dir, "TexG", epoch, carry[0])
+        print(f"[ckpt] saved epoch {epoch} -> {run_dir}", flush=True)
+
+    n_epochs = epochs if epochs is not None else opt.niter
+    return run_training(opt, loader, step_fn, (params, opt_state), n_epochs,
+                        save_fn)

@@ -1,0 +1,52 @@
+"""Shared epoch/iteration training loop (SURVEY.md §2 #19 driver layer).
+
+One loop serves all three stages: epoch loop -> prefetched batch loop ->
+jitted step -> periodic console/HTML/TensorBoard output + epoch checkpoints
+(reference cadence flags: --display_freq --print_freq --save_epoch_freq
+--continue_train, train_start/pretrain_start.sh:35,40-43).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Callable, Dict, Optional
+
+import jax
+import numpy as np
+
+from ..data.dataset import BatchLoader
+from ..utils.visualizer import Visualizer
+
+
+def run_training(opt, loader: BatchLoader, step_fn: Callable,
+                 carry, epochs: int,
+                 save_fn: Callable[[object, int], None],
+                 visuals_fn: Optional[Callable] = None,
+                 start_epoch: int = 1,
+                 mesh=None) -> object:
+    """Generic loop. `carry` is whatever PyTree the step threads (TrainState
+    or (params, opt_state)); step_fn(carry, batch) -> (carry, metrics)."""
+    vis = Visualizer(opt)
+    total_steps = 0
+    try:
+        for epoch in range(start_epoch, epochs + 1):
+            t_epoch = time.time()
+            for it, batch in enumerate(loader):
+                if mesh is not None:
+                    from ..parallel.mesh import shard_batch
+                    batch = shard_batch(mesh, batch)
+                carry, metrics = step_fn(carry, batch)
+                total_steps += 1
+                if total_steps % opt.print_freq == 0:
+                    vis.log_losses(epoch, it, jax.device_get(metrics),
+                                   total_steps)
+                if visuals_fn is not None and total_steps % opt.display_freq == 0:
+                    vis.display_results(visuals_fn(carry, batch), epoch,
+                                        total_steps)
+            print(f"End of epoch {epoch} / {epochs} "
+                  f"({time.time() - t_epoch:.1f}s)", flush=True)
+            if epoch % opt.save_epoch_freq == 0 or epoch == epochs:
+                save_fn(carry, epoch)
+    finally:
+        vis.close()
+    return carry

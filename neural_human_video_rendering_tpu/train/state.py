@@ -1,0 +1,98 @@
+"""Train state: generator + discriminator params, two optimizers, assets.
+
+Functional redesign of the reference's stateful Pix2PixHDModel-analog
+(SURVEY.md §2 #18/#19): everything the step mutates lives in one PyTree so
+the whole G/D update is a single jitted function. The static background and
+texture atlas are part of the state (they are per-identity assets the online
+refinement reads), and the *refined* background / mask exist implicitly as
+BGNet params and TransG's bg-probability head — "stateful side outputs"
+become trained parameters (SURVEY.md §7 hard part 4).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.discriminator import MultiscaleDiscriminator
+from ..models.renderer import NeuralRenderer, renderer_from_options
+from ..models.vgg import get_vgg_params
+
+
+@flax.struct.dataclass
+class TrainState:
+    step: jnp.ndarray
+    g_params: Any
+    d_params: Any
+    g_opt: Any
+    d_opt: Any
+    # per-identity assets (replicated; part of the checkpoint)
+    static_tex: jnp.ndarray          # (P, T, T, 3)
+    bg: jnp.ndarray                  # (H, W, 3)
+    tex_mask: Optional[jnp.ndarray]  # (P, T, T, 1) or None
+
+
+def make_optimizer(opt, steps_per_epoch: int = 0) -> optax.GradientTransformation:
+    """Adam(lr, beta1, beta2) with pix2pixHD's LR schedule: constant for
+    `niter` epochs then linear decay to 0 over `niter_decay` epochs
+    (disabled by --no_decay, cf. the reference's *_noDecay run names)."""
+    if opt.no_decay or steps_per_epoch <= 0:
+        sched = opt.lr
+    else:
+        flat = opt.niter * steps_per_epoch
+        decay = max(opt.niter_decay * steps_per_epoch, 1)
+        sched = optax.join_schedules(
+            [optax.constant_schedule(opt.lr),
+             optax.linear_schedule(opt.lr, 0.0, decay)],
+            boundaries=[flat])
+    return optax.adam(sched, b1=opt.beta1, b2=opt.beta2)
+
+
+def build_discriminator(opt) -> MultiscaleDiscriminator:
+    dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
+    return MultiscaleDiscriminator(num_D=opt.num_D, ndf=opt.ndf,
+                                   n_layers=opt.n_layers_D, dtype=dtype)
+
+
+def create_train_state(opt, rng: jax.Array, static_tex, bg,
+                       tex_mask=None, with_discriminator: bool = True,
+                       ) -> Dict[str, Any]:
+    """Initialize all params + optimizers; returns dict with 'state',
+    'renderer', 'disc', 'vgg_params', 'g_tx', 'd_tx'."""
+    renderer = renderer_from_options(opt)
+    S = opt.loadSize
+    B = 1
+    pose = jnp.zeros((B, S, S, opt.pose_nc), jnp.float32)
+    bg_b = jnp.zeros((B, S, S, 3), jnp.float32)
+    tex_b = jnp.zeros((B, opt.n_parts, opt.tex_tile, opt.tex_tile, 3), jnp.float32)
+    rng, g_rng, d_rng = jax.random.split(rng, 3)
+    g_params = renderer.init(g_rng, pose, bg_b, tex_b, tex_mask)["params"]
+
+    disc = None
+    d_params = {}
+    if with_discriminator:
+        disc = build_discriminator(opt)
+        d_in = jnp.zeros((B, S, S, opt.pose_nc + 3), jnp.float32)
+        d_params = disc.init(d_rng, d_in)["params"]
+
+    g_tx = make_optimizer(opt)
+    d_tx = make_optimizer(opt)
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        g_params=g_params,
+        d_params=d_params,
+        g_opt=g_tx.init(g_params),
+        d_opt=d_tx.init(d_params) if with_discriminator else {},
+        static_tex=jnp.asarray(static_tex, jnp.float32),
+        bg=jnp.asarray(bg, jnp.float32),
+        tex_mask=None if tex_mask is None else jnp.asarray(tex_mask, jnp.float32),
+    )
+    vgg_params = None
+    if with_discriminator and not opt.no_vgg_loss:
+        vgg_params = get_vgg_params()
+    return {"state": state, "renderer": renderer, "disc": disc,
+            "vgg_params": vgg_params, "g_tx": g_tx, "d_tx": d_tx}

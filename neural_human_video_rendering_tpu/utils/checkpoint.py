@@ -1,0 +1,76 @@
+"""Checkpointing (SURVEY.md §2 #21; reference semantics preserved).
+
+Artifact contract matches pix2pixHD: per-subnet files named
+``{epoch}_net_{label}`` plus a ``latest_net_{label}`` copy under
+``{checkpoints_dir}/{name}/`` (reference: --save_epoch_freq
+train_start/pretrain_start.sh:35, --which_epoch test_start/start.sh:28,
+--load_pretrain_TransG/--which_epoch_TransG :29-30, --continue_train :43).
+Serialization is flax msgpack (pure PyTrees — params, optimizer state,
+assets), extension ``.msgpack``.
+
+Partial loads: stage-2 pulls a stage-1 TransG checkpoint into
+g_params["TransG"] (the renderer namespaces subnets, models/renderer.py).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+from typing import Any, Optional
+
+import flax.serialization as fser
+import jax
+import numpy as np
+
+EXT = ".msgpack"
+
+
+def _path(run_dir: str, epoch, label: str) -> str:
+    return os.path.join(run_dir, f"{epoch}_net_{label}{EXT}")
+
+
+def save_net(run_dir: str, label: str, epoch, tree: Any) -> str:
+    """Save one subnet's PyTree as {epoch}_net_{label} + latest_net_{label}."""
+    os.makedirs(run_dir, exist_ok=True)
+    tree = jax.tree.map(np.asarray, tree)
+    path = _path(run_dir, epoch, label)
+    with open(path, "wb") as f:
+        f.write(fser.msgpack_serialize(tree))
+    latest = _path(run_dir, "latest", label)
+    if os.path.abspath(path) != os.path.abspath(latest):
+        shutil.copyfile(path, latest)
+    return path
+
+
+def load_net(run_dir: str, label: str, epoch="latest",
+             target: Optional[Any] = None) -> Any:
+    """Load one subnet's PyTree; validates against `target` if given."""
+    path = _path(run_dir, epoch, label)
+    with open(path, "rb") as f:
+        raw = fser.msgpack_restore(f.read())
+    if target is not None:
+        return fser.from_state_dict(target, raw)
+    return raw
+
+
+def latest_epoch(run_dir: str, label: str) -> Optional[str]:
+    """Highest numeric epoch with a saved file for `label`, or None."""
+    if not os.path.isdir(run_dir):
+        return None
+    best = None
+    for f in os.listdir(run_dir):
+        if f.endswith(f"_net_{label}{EXT}"):
+            tag = f.split("_net_")[0]
+            if tag.isdigit():
+                best = tag if best is None or int(tag) > int(best) else best
+    return best
+
+
+def load_transg_into(g_params: Any, pretrain_dir: str, epoch="latest") -> Any:
+    """Per-subnet partial restore: stage-1 TransG -> stage-2 generator params
+    (reference: --load_pretrain_TransG/--which_epoch_TransG)."""
+    transg = load_net(pretrain_dir, "TransG", epoch,
+                      target=g_params["TransG"])
+    out = dict(g_params)
+    out["TransG"] = transg
+    return out

@@ -1,0 +1,87 @@
+"""Training observability (SURVEY.md §2 #22; util/visualizer.py equivalent).
+
+Keeps the reference's exact artifact contract:
+  * console loss lines every --print_freq iters with time-per-iter;
+  * HTML image gallery at {checkpoints_dir}/{name}/web/index.html
+    every --display_freq iters (reference: README.md:82);
+  * TensorBoard scalars + images under {checkpoints_dir}/{name}/logs when
+    --tf_log (reference: README.md:83) — via torch.utils.tensorboard if
+    importable, else a JSONL fallback at logs/scalars.jsonl so headless
+    environments still record curves.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Dict, Mapping
+
+import numpy as np
+
+from .html import HTMLGallery
+from .image import save_image, to_uint8
+
+
+class Visualizer:
+    def __init__(self, opt):
+        self.opt = opt
+        self.run_dir = opt.run_dir
+        self.web_dir = os.path.join(self.run_dir, "web")
+        self.log_dir = os.path.join(self.run_dir, "logs")
+        os.makedirs(self.run_dir, exist_ok=True)
+        self.gallery = None
+        if not opt.no_html:
+            self.gallery = HTMLGallery(self.web_dir, f"Experiment {opt.name}",
+                                       refresh=30 if opt.isTrain else 0)
+        self.tb = None
+        self.jsonl = None
+        if opt.tf_log:
+            os.makedirs(self.log_dir, exist_ok=True)
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+                self.tb = SummaryWriter(self.log_dir)
+            except Exception:
+                self.jsonl = open(os.path.join(self.log_dir, "scalars.jsonl"), "a")
+        self._t0 = time.time()
+        self._last_print = self._t0
+
+    # -- scalars ------------------------------------------------------
+    def log_losses(self, epoch: int, it: int, losses: Mapping[str, float],
+                   step: int) -> None:
+        losses = {k: float(v) for k, v in losses.items()}
+        now = time.time()
+        dt = now - self._last_print
+        self._last_print = now
+        msg = " ".join(f"{k}: {v:.4f}" for k, v in sorted(losses.items()))
+        print(f"(epoch: {epoch}, iters: {it}, time: {dt:.3f}) {msg}", flush=True)
+        if self.tb is not None:
+            for k, v in losses.items():
+                self.tb.add_scalar(f"loss/{k}", v, step)
+        elif self.jsonl is not None:
+            self.jsonl.write(json.dumps({"step": step, **losses}) + "\n")
+            self.jsonl.flush()
+
+    # -- images -------------------------------------------------------
+    def display_results(self, visuals: Mapping[str, np.ndarray], epoch: int,
+                        step: int) -> None:
+        """visuals: name -> (H,W,C) float image in [-1,1] (mask in [0,1])."""
+        if self.gallery is None:
+            return
+        files = []
+        for name, img in visuals.items():
+            fname = f"epoch{epoch:03d}_step{step}_{name}.jpg"
+            save_image(os.path.join(self.gallery.img_dir, fname),
+                       np.asarray(img))
+            files.append((name, fname))
+            if self.tb is not None:
+                self.tb.add_image(f"img/{name}", to_uint8(np.asarray(img)),
+                                  step, dataformats="HWC")
+        self.gallery.add_images(f"epoch {epoch}, step {step}", files)
+        self.gallery.save()
+
+    def close(self) -> None:
+        if self.tb is not None:
+            self.tb.close()
+        if self.jsonl is not None:
+            self.jsonl.close()

@@ -1,0 +1,48 @@
+"""Checkpoint semantics tests (SURVEY.md §2 #21)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_human_video_rendering_tpu.utils import checkpoint as ckpt
+
+
+def _params(seed=0):
+    k = jax.random.PRNGKey(seed)
+    return {"TransG": {"w": jax.random.normal(k, (4, 4)), "b": jnp.zeros(4)},
+            "TexG": {"w": jax.random.normal(k, (3, 3))}}
+
+
+def test_save_load_roundtrip(tmp_path):
+    d = str(tmp_path)
+    p = _params()
+    ckpt.save_net(d, "G", 5, p)
+    back = ckpt.load_net(d, "G", 5, target=p)
+    np.testing.assert_allclose(np.asarray(back["TransG"]["w"]),
+                               np.asarray(p["TransG"]["w"]))
+    # latest copy exists and loads identically
+    latest = ckpt.load_net(d, "G", "latest", target=p)
+    np.testing.assert_allclose(np.asarray(latest["TexG"]["w"]),
+                               np.asarray(p["TexG"]["w"]))
+
+
+def test_latest_epoch_discovery(tmp_path):
+    d = str(tmp_path)
+    assert ckpt.latest_epoch(d, "G") is None
+    ckpt.save_net(d, "G", 2, _params())
+    ckpt.save_net(d, "G", 10, _params())
+    assert ckpt.latest_epoch(d, "G") == "10"
+
+
+def test_partial_transg_restore(tmp_path):
+    """Stage-1 TransG checkpoint loads into stage-2 generator params."""
+    d = str(tmp_path)
+    stage1 = _params(seed=1)
+    ckpt.save_net(d, "TransG", 2, stage1["TransG"])
+    stage2 = _params(seed=2)
+    merged = ckpt.load_transg_into(stage2, d, 2)
+    np.testing.assert_allclose(np.asarray(merged["TransG"]["w"]),
+                               np.asarray(stage1["TransG"]["w"]))
+    # other subnets untouched
+    np.testing.assert_allclose(np.asarray(merged["TexG"]["w"]),
+                               np.asarray(stage2["TexG"]["w"]))

@@ -1,0 +1,37 @@
+"""Inference-driver test: the reference demo path (keypoints -> frames)."""
+
+import dataclasses
+import os
+
+from neural_human_video_rendering_tpu.infer.test_driver import run_inference
+
+
+def test_inference_writes_frames_and_gallery(tiny_opt, tmp_path,
+                                             ref_keypoints_dir):
+    opt = dataclasses.replace(
+        tiny_opt, pose_path=ref_keypoints_dir,
+        results_dir=str(tmp_path / "results"),
+        name="infer_test", checkpoints_dir=str(tmp_path / "ckpt"),
+        which_epoch="latest", isTrain=False)
+    n = run_inference(opt, batch_size=2, max_frames=5)
+    assert n == 5
+    imgs = os.listdir(os.path.join(opt.results_dir, "images"))
+    assert len(imgs) == 5
+    assert any("frame00000" in f for f in imgs)
+    assert os.path.exists(os.path.join(opt.results_dir, "index.html"))
+
+
+def test_visualizer_artifacts(tiny_opt, tmp_path):
+    """HTML gallery + opt.txt + logs: the reference's artifact contract."""
+    import numpy as np
+    opt = dataclasses.replace(tiny_opt, checkpoints_dir=str(tmp_path),
+                              name="vis_test", tf_log=True)
+    opt.save()
+    assert os.path.exists(os.path.join(opt.run_dir, "opt.txt"))
+    from neural_human_video_rendering_tpu.utils.visualizer import Visualizer
+    vis = Visualizer(opt)
+    vis.log_losses(1, 0, {"G_GAN": 0.5}, step=1)
+    vis.display_results({"fake": np.zeros((8, 8, 3), np.float32)}, 1, 1)
+    vis.close()
+    assert os.path.exists(os.path.join(opt.run_dir, "web", "index.html"))
+    assert os.path.isdir(os.path.join(opt.run_dir, "logs"))

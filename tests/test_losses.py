@@ -1,0 +1,86 @@
+"""Loss-suite unit tests (SURVEY.md §2 #18)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from neural_human_video_rendering_tpu import losses as L
+
+
+def _fake_d_outs(val, scales=2, layers=3, shape=(1, 4, 4)):
+    return [[jnp.full(shape + (8,), val) for _ in range(layers)]
+            + [jnp.full(shape + (1,), val)] for _ in range(scales)]
+
+
+def test_lsgan_g_perfect_and_worst():
+    assert float(L.lsgan_loss_g(_fake_d_outs(1.0))) == 0.0
+    assert abs(float(L.lsgan_loss_g(_fake_d_outs(0.0))) - 1.0) < 1e-6
+
+
+def test_lsgan_d():
+    # perfect discriminator: real->1, fake->0
+    assert float(L.lsgan_loss_d(_fake_d_outs(1.0), _fake_d_outs(0.0))) == 0.0
+    v = float(L.lsgan_loss_d(_fake_d_outs(0.0), _fake_d_outs(1.0)))
+    assert abs(v - 1.0) < 1e-6
+
+
+def test_feature_matching_zero_when_equal():
+    outs = _fake_d_outs(0.5)
+    assert float(L.feature_matching_loss(outs, outs)) == 0.0
+    other = _fake_d_outs(1.5)
+    assert float(L.feature_matching_loss(outs, other)) > 0
+
+
+def test_uv_loss_zero_when_exact():
+    B, H, W, P = 1, 4, 4, 3
+    rng = np.random.RandomState(0)
+    dp_uv = rng.rand(B, H, W, 2).astype(np.float32)
+    parts = rng.randint(0, P + 1, (B, H, W)).astype(np.int32)
+    uv_pred = np.zeros((B, H, W, P, 2), np.float32)
+    for p in range(P):
+        uv_pred[..., p, :] = dp_uv
+    assert float(L.uv_loss(jnp.asarray(uv_pred), jnp.asarray(dp_uv),
+                           jnp.asarray(parts))) < 1e-6
+    # perturb -> positive
+    uv_bad = uv_pred + 0.25
+    assert float(L.uv_loss(jnp.asarray(uv_bad), jnp.asarray(dp_uv),
+                           jnp.asarray(parts))) > 0.1
+
+
+def test_part_ce_loss_prefers_correct_class():
+    B, H, W, P = 1, 4, 4, 3
+    parts = np.ones((B, H, W), np.int32)
+    good = np.full((B, H, W, P + 1), -10.0, np.float32)
+    good[..., 1] = 10.0
+    bad = np.full((B, H, W, P + 1), -10.0, np.float32)
+    bad[..., 2] = 10.0
+    lg = float(L.part_ce_loss(jnp.asarray(good), jnp.asarray(parts)))
+    lb = float(L.part_ce_loss(jnp.asarray(bad), jnp.asarray(parts)))
+    assert lg < 1e-3 and lb > 5.0
+
+
+def test_part_ce_loss_mask_restricts():
+    B, H, W, P = 1, 4, 4, 3
+    parts = np.ones((B, H, W), np.int32)
+    logits = np.full((B, H, W, P + 1), -10.0, np.float32)
+    logits[..., 2] = 10.0              # everywhere wrong
+    mask = np.zeros((B, H, W, 1), np.float32)  # ...but nothing supervised
+    assert float(L.part_ce_loss(jnp.asarray(logits), jnp.asarray(parts),
+                                jnp.asarray(mask))) == 0.0
+
+
+def test_temporal_loss_zero_for_static_scene():
+    img = jnp.asarray(np.random.RandomState(0).rand(1, 8, 8, 3).astype(np.float32))
+    zero_flow = jnp.zeros((1, 8, 8, 2))
+    v = float(L.temporal_flow_loss(img, img, zero_flow, zero_flow))
+    assert v < 1e-6
+
+
+def test_occlusion_mask_flags_inconsistent_flow():
+    # consistent forward/backward pair -> mostly visible (borders occlude
+    # because the zero-padded warp breaks consistency there, by design)
+    flow = jnp.zeros((1, 16, 16, 2)).at[..., 0].set(1.0)
+    m = L.occlusion_mask(flow, -flow)
+    assert float(m.mean()) > 0.8
+    # inconsistent backward flow -> occluded everywhere
+    m2 = L.occlusion_mask(flow, flow * 5.0)
+    assert float(m2.mean()) < float(m.mean()) - 0.3

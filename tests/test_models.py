@@ -1,0 +1,88 @@
+"""Network-zoo shape/namespace tests (SURVEY.md §2 #12-#17)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_human_video_rendering_tpu.models.discriminator import \
+    MultiscaleDiscriminator
+from neural_human_video_rendering_tpu.models.generators import (BGNet, TexG,
+                                                                TransG)
+from neural_human_video_rendering_tpu.models.renderer import (
+    NeuralRenderer, renderer_from_options)
+from neural_human_video_rendering_tpu.models.vgg import (VGG19Features,
+                                                         init_vgg_params)
+
+RNG = jax.random.PRNGKey(0)
+
+
+def test_transg_output_shapes():
+    m = TransG(n_parts=4, ngf=4, n_downsampling=2, n_blocks=1)
+    x = jnp.zeros((2, 32, 32, 3))
+    params = m.init(RNG, x)["params"]
+    logits, uv = m.apply({"params": params}, x)
+    assert logits.shape == (2, 32, 32, 5)
+    assert uv.shape == (2, 32, 32, 4, 2)
+    assert float(uv.min()) >= 0.0 and float(uv.max()) <= 1.0
+
+
+def test_texg_output_shape():
+    m = TexG(n_parts=4, tile=16, ngf=4, n_downsampling=1, n_blocks=1)
+    x = jnp.zeros((2, 32, 32, 3))
+    params = m.init(RNG, x)["params"]
+    out = m.apply({"params": params}, x)
+    assert out.shape == (2, 4, 16, 16, 3)
+    assert float(jnp.abs(out).max()) <= 1.0
+
+
+def test_bgnet_output_range():
+    m = BGNet(ngf=4, n_downsampling=1, n_blocks=1)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = m.init(RNG, x)["params"]
+    out = m.apply({"params": params}, x)
+    assert out.shape == (1, 32, 32, 3)
+    assert float(jnp.abs(out).max()) <= 1.0
+
+
+def test_multiscale_discriminator_structure():
+    m = MultiscaleDiscriminator(num_D=2, ndf=4, n_layers=2)
+    x = jnp.zeros((1, 32, 32, 6))
+    params = m.init(RNG, x)["params"]
+    outs = m.apply({"params": params}, x)
+    assert len(outs) == 2                       # two scales
+    for feats in outs:
+        assert len(feats) == 4                  # n_layers + stride1 + logits
+        assert feats[-1].shape[-1] == 1         # patch logits
+    # second scale sees a 2x downsampled pyramid level (16px -> first conv
+    # stride 2 with pad 2: (16+2*2-4)/2+1 = 9; full res gives 17)
+    assert outs[0][0].shape[1] == 17
+    assert outs[1][0].shape[1] == 9
+
+
+def test_renderer_composition(tiny_opt):
+    renderer = renderer_from_options(tiny_opt)
+    S, T, P = tiny_opt.loadSize, tiny_opt.tex_tile, tiny_opt.n_parts
+    pose = jnp.zeros((1, S, S, 3))
+    bg = jnp.zeros((1, S, S, 3))
+    tex = jnp.zeros((1, P, T, T, 3))
+    params = renderer.init(RNG, pose, bg, tex, None)["params"]
+    # per-subnet namespaces enable partial checkpoint restore
+    assert set(params.keys()) == {"TransG", "TexG", "BGNet"}
+    outs = renderer.apply({"params": params}, pose, bg, tex, None)
+    assert outs["fake"].shape == (1, S, S, 3)
+    assert outs["mask"].shape == (1, S, S, 1)
+    assert outs["uv"].shape == (1, S, S, P, 2)
+    assert outs["texture"].shape == (1, P, T, T, 3)
+    # compositing identity: fake = mask*fg + (1-mask)*bg_refined
+    recon = outs["mask"] * outs["fg"] + (1 - outs["mask"]) * outs["bg_refined"]
+    np.testing.assert_allclose(np.asarray(outs["fake"]), np.asarray(recon),
+                               atol=1e-5)
+
+
+def test_vgg_taps():
+    params = init_vgg_params(image_size=32)
+    m = VGG19Features()
+    feats = m.apply({"params": params}, jnp.zeros((1, 32, 32, 3)))
+    assert len(feats) == 5
+    assert feats[0].shape == (1, 32, 32, 64)
+    assert feats[4].shape == (1, 2, 2, 512)

@@ -1,0 +1,61 @@
+"""Pose retargeting tests: recover a known scale/translation."""
+
+import os
+
+import numpy as np
+
+from neural_human_video_rendering_tpu.data import keypoints as kp
+from neural_human_video_rendering_tpu.data import pose_align as pa
+
+
+def _make_corpus(tmp, tag, scale=1.0, shift=(0.0, 0.0), n=8):
+    d = tmp / tag
+    d.mkdir()
+    rng = np.random.RandomState(3)
+    for i in range(n):
+        body = np.zeros((25, 3), np.float32)
+        # head at y=100, ankles at y=500 (+noise), person centered x=300
+        # (only these five joints are detected; the rest stay conf=0)
+        body[0] = [300, 100 + rng.randn(), 0.9]
+        body[15] = [295, 98, 0.9]
+        body[16] = [305, 98, 0.9]
+        body[11] = [280, 500 + rng.randn(), 0.9]
+        body[14] = [320, 500 + rng.randn(), 0.9]
+        body[:, 0] = body[:, 0] * scale + shift[0]
+        body[:, 1] = body[:, 1] * scale + shift[1]
+        kp.write_keypoint_json(str(d / f"frame{i:05d}_keypoints.json"), body)
+    return str(d)
+
+
+def test_fit_recovers_scale_translation(tmp_path):
+    src = _make_corpus(tmp_path, "src")
+    tgt = _make_corpus(tmp_path, "tgt", scale=0.5, shift=(50, 20))
+    s, t = pa.fit_scale_translation(tgt, src)
+    assert abs(s - 0.5) < 0.02
+    # ankle anchor: src ~(300,500) -> tgt ~(200,270)
+    src_anchor = np.array([300.0, 500.0])
+    mapped = s * src_anchor + t
+    tgt_anchor = np.array([300.0 * 0.5 + 50, 500.0 * 0.5 + 20])
+    np.testing.assert_allclose(mapped, tgt_anchor, atol=3.0)
+
+
+def test_align_pose_dir_writes_jsons(tmp_path):
+    src = _make_corpus(tmp_path, "src2")
+    out = str(tmp_path / "aligned")
+    n = pa.align_pose_dir(src, out, 2.0, np.array([10.0, -5.0]))
+    assert n == 8
+    moved = kp.parse_keypoint_json(os.path.join(out, "frame00000_keypoints.json"))
+    orig = kp.parse_keypoint_json(os.path.join(src, "frame00000_keypoints.json"))
+    has = orig["body"][:, 2] > 0
+    np.testing.assert_allclose(moved["body"][has, 0],
+                               2.0 * orig["body"][has, 0] + 10.0, atol=1e-3)
+
+
+def test_spread_filter(tmp_path):
+    src = _make_corpus(tmp_path, "src3")
+    # heights are ~400px; a spread window excluding 400 must fail
+    import pytest
+    with pytest.raises(ValueError):
+        pa.corpus_stats(src, (10.0, 50.0))
+    h, a = pa.corpus_stats(src, (300.0, 500.0))
+    assert 380 < h < 420

@@ -1,0 +1,56 @@
+"""Pose rasterizer tests (jit-able skeleton render + heatmaps)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from neural_human_video_rendering_tpu.data import rasterize as ras
+
+
+def _joints(S=64):
+    j = np.zeros((18, 3), np.float32)
+    j[:, 2] = 1.0
+    # vertical "spine": neck (1) at top-center, nose (0) above it
+    j[0] = [S / 2, S / 4, 1.0]
+    j[1] = [S / 2, S / 2, 1.0]
+    # spread other joints around
+    for i in range(2, 18):
+        j[i] = [(i * 7) % S, (i * 11) % S, 1.0]
+    return j
+
+
+def test_skeleton_shapes_and_range():
+    img = ras.render_skeleton(jnp.asarray(_joints()), 64, 64)
+    assert img.shape == (64, 64, 3)
+    assert float(img.min()) >= -1.0 and float(img.max()) <= 1.0
+
+
+def test_limb_drawn_between_joints():
+    img = np.asarray(ras.render_skeleton(jnp.asarray(_joints()), 64, 64))
+    # midpoint of nose-neck limb (x=32, y in (16,32)) must be colored
+    mid = img[24, 32]
+    assert not np.allclose(mid, -1.0)
+    # far corner is background
+    assert np.allclose(img[0, 63], -1.0)
+
+
+def test_low_confidence_joint_not_drawn():
+    j = _joints()
+    j[:, 2] = 0.0  # nothing visible
+    img = np.asarray(ras.render_skeleton(jnp.asarray(j), 64, 64))
+    assert np.allclose(img, -1.0)
+
+
+def test_batched_render():
+    j = np.stack([_joints(), _joints()])
+    out = ras.render_skeleton_batch(jnp.asarray(j), 32, 32)
+    assert out.shape == (2, 32, 32, 3)
+    np.testing.assert_allclose(out[0], out[1])
+
+
+def test_heatmaps_peak_at_joint():
+    j = _joints()
+    hm = np.asarray(ras.joint_heatmaps(jnp.asarray(j), 64, 64, sigma=2.0))
+    assert hm.shape == (64, 64, 18)
+    y, x = int(j[1, 1]), int(j[1, 0])
+    assert hm[y, x, 1] > 0.99
+    assert hm[0, 0, 1] < 0.01
