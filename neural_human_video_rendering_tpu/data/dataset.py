@@ -26,6 +26,7 @@ import numpy as np
 from . import densepose as dp
 from . import keypoints as kp
 from . import laplace as lp
+from . import native_loader as nl
 
 IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".webp")
 
@@ -39,7 +40,15 @@ def list_images(d: str) -> List[str]:
 
 
 def load_image(path: str, size: int) -> np.ndarray:
-    """Image file -> (size, size, 3) float32 RGB in [-1, 1]."""
+    """Image file -> (size, size, 3) float32 RGB in [-1, 1].
+
+    Uses the native C++ decoder (native/loader.cpp) when built; cv2 fallback.
+    """
+    if nl.available():
+        try:
+            return nl.decode_image(path, size, nl.MODE_RGB)
+        except IOError:
+            pass
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(path)
@@ -51,6 +60,11 @@ def load_image(path: str, size: int) -> np.ndarray:
 
 def load_mask(path: str, size: int) -> np.ndarray:
     """Mask file -> (size, size, 1) float32 in [0, 1]."""
+    if nl.available():
+        try:
+            return nl.decode_image(path, size, nl.MODE_GRAY)[..., None]
+        except IOError:
+            pass
     m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
     if m is None:
         raise FileNotFoundError(path)
@@ -61,6 +75,11 @@ def load_mask(path: str, size: int) -> np.ndarray:
 
 def load_iuv(path: str, size: int) -> Tuple[np.ndarray, np.ndarray]:
     """DensePose IUV image -> (parts (S,S) int32, uv (S,S,2) float32)."""
+    if nl.available():
+        try:
+            return dp.decode_iuv(nl.decode_image(path, size, nl.MODE_LABEL))
+        except IOError:
+            pass
     img = cv2.imread(path, cv2.IMREAD_COLOR)
     if img is None:
         raise FileNotFoundError(path)

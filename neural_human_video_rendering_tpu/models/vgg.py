@@ -67,7 +67,7 @@ def init_vgg_params(rng: jax.Array = None, image_size: int = 64):
     rng = jax.random.PRNGKey(0) if rng is None else rng
     model = VGG19Features()
     dummy = jnp.zeros((1, image_size, image_size, 3), jnp.float32)
-    return model.init(rng, dummy)["params"]
+    return jax.jit(model.init)(rng, dummy)["params"]
 
 
 def load_pretrained(path: str):

@@ -115,10 +115,37 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
             vis["real"] = batch["image"][0]
         return vis
 
+    # held-out eval (PSNR/SSIM on the --data_ratio split; SURVEY.md §5)
+    eval_fn = None
+    if 0 < opt.data_ratio < 1:
+        eval_ds = _dataset(opt, "test")
+        if len(eval_ds) > 0 and not isinstance(eval_ds, dsm.SyntheticDataset):
+            from ..utils.metrics import psnr, ssim
+            from .steps import make_forward_fn
+            eval_loader = dsm.BatchLoader(eval_ds, opt.batchSize,
+                                          shuffle=False, drop_last=True)
+            efwd = make_forward_fn(opt, bundle["renderer"])
+
+            def eval_fn(st, epoch):
+                ps, ss, n = 0.0, 0.0, 0
+                for eb in eval_loader:
+                    outs = efwd(st.g_params,
+                                (st.static_tex, st.bg, st.tex_mask),
+                                jnp.asarray(eb["joints"]),
+                                jnp.asarray(eb["laplace"])
+                                if "laplace" in eb else None)
+                    real = jnp.asarray(eb["image"])
+                    ps += float(psnr(outs["fake"], real))
+                    ss += float(ssim(outs["fake"], real))
+                    n += 1
+                if n == 0:
+                    return {}
+                return {"val_PSNR": ps / n, "val_SSIM": ss / n}
+
     n_epochs = epochs if epochs is not None else (
         opt.niter if opt.no_decay else opt.niter + opt.niter_decay)
     state = run_training(opt, loader, step_fn, state, n_epochs, save_fn,
-                         visuals_fn)
+                         visuals_fn, eval_fn=eval_fn)
     return state
 
 

@@ -22,10 +22,13 @@ def run_training(opt, loader: BatchLoader, step_fn: Callable,
                  carry, epochs: int,
                  save_fn: Callable[[object, int], None],
                  visuals_fn: Optional[Callable] = None,
+                 eval_fn: Optional[Callable] = None,
                  start_epoch: int = 1,
                  mesh=None) -> object:
     """Generic loop. `carry` is whatever PyTree the step threads (TrainState
-    or (params, opt_state)); step_fn(carry, batch) -> (carry, metrics)."""
+    or (params, opt_state)); step_fn(carry, batch) -> (carry, metrics);
+    eval_fn(carry, epoch) -> metrics dict, run after every epoch (the
+    reference's --data_ratio held-out split, made measurable)."""
     vis = Visualizer(opt)
     total_steps = 0
     try:
@@ -45,6 +48,10 @@ def run_training(opt, loader: BatchLoader, step_fn: Callable,
                                         total_steps)
             print(f"End of epoch {epoch} / {epochs} "
                   f"({time.time() - t_epoch:.1f}s)", flush=True)
+            if eval_fn is not None:
+                ev = eval_fn(carry, epoch)
+                if ev:
+                    vis.log_losses(epoch, -1, ev, total_steps)
             if epoch % opt.save_epoch_freq == 0 or epoch == epochs:
                 save_fn(carry, epoch)
     finally:

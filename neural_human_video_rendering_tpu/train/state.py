@@ -70,14 +70,17 @@ def create_train_state(opt, rng: jax.Array, static_tex, bg,
     bg_b = jnp.zeros((B, S, S, 3), jnp.float32)
     tex_b = jnp.zeros((B, opt.n_parts, opt.tex_tile, opt.tex_tile, 3), jnp.float32)
     rng, g_rng, d_rng = jax.random.split(rng, 3)
-    g_params = renderer.init(g_rng, pose, bg_b, tex_b, tex_mask)["params"]
+    # jit the inits: eager flax init dispatches op-by-op (hundreds of tiny
+    # device calls — minutes over a remote TPU link); compiled it's one call
+    g_params = jax.jit(renderer.init)(g_rng, pose, bg_b, tex_b,
+                                      tex_mask)["params"]
 
     disc = None
     d_params = {}
     if with_discriminator:
         disc = build_discriminator(opt)
         d_in = jnp.zeros((B, S, S, opt.pose_nc + 3), jnp.float32)
-        d_params = disc.init(d_rng, d_in)["params"]
+        d_params = jax.jit(disc.init)(d_rng, d_in)["params"]
 
     g_tx = make_optimizer(opt)
     d_tx = make_optimizer(opt)
