@@ -24,6 +24,8 @@ V100_BASELINE_STEPS_PER_SEC = 2.0
 
 
 def main():
+    from neural_human_video_rendering_tpu.runtime import setup_jax
+    setup_jax()
     import jax
     import jax.numpy as jnp
 

@@ -135,6 +135,11 @@ class Options:
     mesh_shape: str = ""             # e.g. "8" or "4,2"; empty = all devices, 1 axis
     use_pallas_warp: bool = True     # fused Pallas texture-warp kernel
     warp_topk: int = 4               # top-k part sampling in the texture warp (0/24 = all parts)
+    pad_mode: str = "reflect"        # conv padding: reflect (pix2pixHD parity) | same (faster)
+    upsample_mode: str = "deconv"    # decoder upsample: deconv (parity) | resize (faster, no checkerboard)
+    profile_dir: str = ""            # write a jax.profiler trace of steps [profile_start, profile_start+profile_steps)
+    profile_start: int = 3
+    profile_steps: int = 5
     seed: int = 0
     isTrain: bool = True
 

@@ -35,23 +35,26 @@ class GlobalGenerator(nn.Module):
     n_downsampling: int = 4
     n_blocks: int = 9
     final_tanh: bool = True
+    pad_mode: str = "reflect"
+    upsample_mode: str = "deconv"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         x = x.astype(self.dtype)
-        x = ConvNormRelu(self.ngf, 7, dtype=self.dtype)(x)
+        x = ConvNormRelu(self.ngf, 7, pad_mode=self.pad_mode,
+                         dtype=self.dtype)(x)
         for i in range(self.n_downsampling):
             x = ConvNormRelu(self.ngf * 2 ** (i + 1), 3, stride=2,
-                             dtype=self.dtype)(x)
+                             pad_mode=self.pad_mode, dtype=self.dtype)(x)
         for _ in range(self.n_blocks):
             x = ResnetBlock(self.ngf * 2 ** self.n_downsampling,
-                            dtype=self.dtype)(x)
+                            pad_mode=self.pad_mode, dtype=self.dtype)(x)
         for i in range(self.n_downsampling):
             x = Upsample(self.ngf * 2 ** (self.n_downsampling - i - 1),
-                         dtype=self.dtype)(x)
+                         mode=self.upsample_mode, dtype=self.dtype)(x)
         x = ConvNormRelu(self.out_nc, 7, use_norm=False, use_relu=False,
-                         dtype=self.dtype)(x)
+                         pad_mode=self.pad_mode, dtype=self.dtype)(x)
         x = x.astype(jnp.float32)
         return jnp.tanh(x) if self.final_tanh else x
 
@@ -62,6 +65,8 @@ class TransG(nn.Module):
     ngf: int = 64
     n_downsampling: int = 4
     n_blocks: int = 9
+    pad_mode: str = "reflect"
+    upsample_mode: str = "deconv"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -70,6 +75,8 @@ class TransG(nn.Module):
         out_nc = (1 + self.n_parts) + 2 * self.n_parts
         raw = GlobalGenerator(out_nc, self.ngf, self.n_downsampling,
                               self.n_blocks, final_tanh=False,
+                              pad_mode=self.pad_mode,
+                              upsample_mode=self.upsample_mode,
                               dtype=self.dtype)(pose)
         logits = raw[..., : 1 + self.n_parts]
         uv = raw[..., 1 + self.n_parts:]
@@ -93,6 +100,8 @@ class TexG(nn.Module):
     ngf: int = 64
     n_downsampling: int = 2
     n_blocks: int = 5
+    pad_mode: str = "reflect"
+    upsample_mode: str = "deconv"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -105,6 +114,8 @@ class TexG(nn.Module):
             pose = nn.avg_pool(pose, (factor, factor), strides=(factor, factor))
         out = GlobalGenerator(self.n_parts * 3, self.ngf, self.n_downsampling,
                               self.n_blocks, final_tanh=True,
+                              pad_mode=self.pad_mode,
+                              upsample_mode=self.upsample_mode,
                               dtype=self.dtype)(pose)
         out = out.reshape(B, self.tile, self.tile, self.n_parts, 3)
         return jnp.moveaxis(out, 3, 1)    # (B, P, T, T, 3)
@@ -115,11 +126,15 @@ class BGNet(nn.Module):
     ngf: int = 32
     n_downsampling: int = 2
     n_blocks: int = 2
+    pad_mode: str = "reflect"
+    upsample_mode: str = "deconv"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, bg: jnp.ndarray) -> jnp.ndarray:
         """bg (B,H,W,3) static background -> refined background in [-1,1]."""
         res = GlobalGenerator(3, self.ngf, self.n_downsampling, self.n_blocks,
-                              final_tanh=True, dtype=self.dtype)(bg)
+                              final_tanh=True, pad_mode=self.pad_mode,
+                              upsample_mode=self.upsample_mode,
+                              dtype=self.dtype)(bg)
         return jnp.clip(bg + res, -1.0, 1.0)

@@ -35,22 +35,32 @@ def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
 
 
 class ConvNormRelu(nn.Module):
-    """ReflectPad -> Conv -> InstanceNorm -> ReLU."""
+    """Pad -> Conv -> InstanceNorm -> ReLU.
+
+    pad_mode "reflect" reproduces pix2pixHD's ReflectionPad2d (an explicit
+    whole-activation copy before every conv); "same" uses the conv's own
+    zero padding — one less HBM round-trip per conv, measurably faster on
+    TPU, and visually equivalent away from borders. Default keeps parity.
+    """
     features: int
     kernel: int = 3
     stride: int = 1
     pad: Optional[int] = None
     use_norm: bool = True
     use_relu: bool = True
+    pad_mode: str = "reflect"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = self.kernel // 2 if self.pad is None else self.pad
-        if pad:
+        if pad and self.pad_mode == "reflect":
             x = reflect_pad(x, pad)
+            padding = "VALID"
+        else:
+            padding = [(pad, pad), (pad, pad)]
         x = nn.Conv(self.features, (self.kernel, self.kernel),
-                    strides=(self.stride, self.stride), padding="VALID",
+                    strides=(self.stride, self.stride), padding=padding,
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         if self.use_norm:
             x = InstanceNorm()(x.astype(jnp.float32)).astype(self.dtype)
@@ -60,26 +70,41 @@ class ConvNormRelu(nn.Module):
 
 
 class ResnetBlock(nn.Module):
-    """pix2pixHD ResnetBlock: two reflect-padded 3x3 convs with a skip."""
+    """pix2pixHD ResnetBlock: two padded 3x3 convs with a skip."""
     features: int
+    pad_mode: str = "reflect"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        h = ConvNormRelu(self.features, 3, dtype=self.dtype)(x)
-        h = ConvNormRelu(self.features, 3, use_relu=False, dtype=self.dtype)(h)
+        h = ConvNormRelu(self.features, 3, pad_mode=self.pad_mode,
+                         dtype=self.dtype)(x)
+        h = ConvNormRelu(self.features, 3, use_relu=False,
+                         pad_mode=self.pad_mode, dtype=self.dtype)(h)
         return x + h
 
 
 class Upsample(nn.Module):
-    """Stride-2 transposed conv upsampling (pix2pixHD decoder stage)."""
+    """2x upsampling decoder stage.
+
+    mode "deconv": pix2pixHD's stride-2 ConvTranspose (parity default).
+    mode "resize": nearest-resize + 3x3 conv — maps to a plain MXU conv
+    (no input dilation) and avoids checkerboard artifacts.
+    """
     features: int
+    mode: str = "deconv"
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
-                             padding="SAME", dtype=self.dtype,
-                             param_dtype=jnp.float32)(x)
+        if self.mode == "resize":
+            B, H, W, C = x.shape
+            x = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
+            x = nn.Conv(self.features, (3, 3), padding="SAME",
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
+        else:
+            x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
+                                 padding="SAME", dtype=self.dtype,
+                                 param_dtype=jnp.float32)(x)
         x = InstanceNorm()(x.astype(jnp.float32)).astype(self.dtype)
         return nn.relu(x)

@@ -45,6 +45,8 @@ class NeuralRenderer(nn.Module):
     use_mask_texture: bool = False
     use_pallas: bool = True
     warp_k: int = 4
+    pad_mode: str = "reflect"
+    upsample_mode: str = "deconv"
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -63,14 +65,17 @@ class NeuralRenderer(nn.Module):
         Returns dict: fake, fg, mask, probs, uv, logits, texture, bg_refined.
         """
         logits, uv = TransG(self.n_parts, self.transg_ngf, self.transg_downs,
-                            self.transg_blocks, dtype=self.dtype,
-                            name="TransG")(pose)
+                            self.transg_blocks, pad_mode=self.pad_mode,
+                            upsample_mode=self.upsample_mode,
+                            dtype=self.dtype, name="TransG")(pose)
         probs = nn.softmax(logits, axis=-1)
 
         texture = static_tex
         if self.use_texg:
             residual = TexG(self.n_parts, self.tex_tile, self.texg_ngf,
                             self.texg_downs, self.texg_blocks,
+                            pad_mode=self.pad_mode,
+                            upsample_mode=self.upsample_mode,
                             dtype=self.dtype, name="TexG")(pose)
             if self.use_mask_texture and tex_mask is not None:
                 residual = residual * tex_mask[None]
@@ -82,6 +87,8 @@ class NeuralRenderer(nn.Module):
         bg_refined = bg
         if self.use_bg:
             bg_refined = BGNet(32, self.bg_downs, self.bg_blocks,
+                               pad_mode=self.pad_mode,
+                               upsample_mode=self.upsample_mode,
                                dtype=self.dtype, name="BGNet")(bg)
 
         mask = (1.0 - probs[..., :1])          # (B, H, W, 1) soft fg mask
@@ -111,5 +118,7 @@ def renderer_from_options(opt) -> NeuralRenderer:
         use_mask_texture=opt.use_mask_texture,
         use_pallas=opt.use_pallas_warp,
         warp_k=opt.warp_topk,
+        pad_mode=opt.pad_mode,
+        upsample_mode=opt.upsample_mode,
         dtype=dtype,
     )

@@ -116,37 +116,68 @@ def texture_warp_topk(tex: jnp.ndarray, uv: jnp.ndarray, probs: jnp.ndarray,
     gather traffic and memory. k == P reproduces the reference exactly
     (pinned by tests/test_ops.py).
 
+    Layout note (load-bearing): everything here lives in "plane" layout —
+    (B, k, N) / (B, N) with N = H*W on the minor axis. TPU tiles the last
+    two dims to (8, 128); tensors shaped (..., k) or (..., k, C) with k=4,
+    C=3 trailing get padded 32x (a 48 MB tap buffer becomes 1.5 GB and the
+    step OOMs — observed in the XLA allocation dump). top-k itself is an
+    unrolled argmax+mask loop for the same reason: jax.lax.top_k would
+    produce (B, H, W, k) intermediates.
+
     Shapes as texture_warp_reference; k is static.
     """
     B, P, Ht, Wt, C = tex.shape
     H, W = uv.shape[1], uv.shape[2]
-    fg_probs = probs[..., 1:]                                   # (B,H,W,P)
-    top_w, top_idx = jax.lax.top_k(fg_probs, k)                 # (B,H,W,k)
-    uv_k = jnp.take_along_axis(uv, top_idx[..., None], axis=3)  # (B,H,W,k,2)
+    N = H * W
 
-    x = uv_k[..., 0] * (Wt - 1)                                 # (B,H,W,k)
-    y = uv_k[..., 1] * (Ht - 1)
+    fg = jnp.moveaxis(probs[..., 1:], -1, 1).reshape(B, P, N)    # (B,P,N)
+    u = jnp.moveaxis(uv[..., 0], -1, 1).reshape(B, P, N)
+    v = jnp.moveaxis(uv[..., 1], -1, 1).reshape(B, P, N)
+
+    # iterative top-k: k x (argmax over P + mask); intermediates (B,N)/(B,P,N)
+    part_ids = jnp.arange(P, dtype=jnp.int32)[None, :, None]
+    remaining = fg
+    idx_list, w_list = [], []
+    for _ in range(k):
+        a = jnp.argmax(remaining, axis=1).astype(jnp.int32)      # (B,N)
+        a_e = a[:, None, :]
+        w = jnp.take_along_axis(remaining, a_e, axis=1)[:, 0]    # (B,N)
+        idx_list.append(a)
+        w_list.append(jnp.maximum(w, 0.0))
+        remaining = jnp.where(part_ids == a_e, -jnp.inf, remaining)
+    part_idx = jnp.stack(idx_list, axis=1)                       # (B,k,N)
+    wk = jnp.stack(w_list, axis=1)                               # (B,k,N)
+
+    u_k = jnp.take_along_axis(u, part_idx, axis=1)               # (B,k,N)
+    v_k = jnp.take_along_axis(v, part_idx, axis=1)
+    x = u_k * (Wt - 1)
+    y = v_k * (Ht - 1)
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
-    wx = (x - x0f)[..., None]
-    wy = (y - y0f)[..., None]
+    wx = x - x0f
+    wy = y - y0f
     x0 = jnp.clip(x0f.astype(jnp.int32), 0, Wt - 1)
     x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, Wt - 1)
     y0 = jnp.clip(y0f.astype(jnp.int32), 0, Ht - 1)
     y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, Ht - 1)
+    base = part_idx * (Ht * Wt)                                  # (B,k,N)
 
-    tex_flat = tex.reshape(B, P * Ht * Wt, C)
-    base = top_idx * (Ht * Wt)                                  # (B,H,W,k)
+    # per-channel texture planes (B, P*Ht*Wt): gathers stay (B, k*N)-shaped
+    tex_chan = [tex[..., c].reshape(B, P * Ht * Wt) for c in range(C)]
 
     def tap(ix, iy):
-        idx = (base + iy * Wt + ix).reshape(B, -1)              # (B, H*W*k)
-        out = jnp.take_along_axis(tex_flat, idx[..., None], axis=1)
-        return out.reshape(B, H, W, k, C)
+        idx = (base + iy * Wt + ix).reshape(B, k * N)
+        return [jnp.take_along_axis(tc, idx, axis=1).reshape(B, k, N)
+                for tc in tex_chan]                              # C x (B,k,N)
 
     v00 = tap(x0, y0)
     v01 = tap(x1, y0)
     v10 = tap(x0, y1)
     v11 = tap(x1, y1)
-    samp = ((v00 * (1 - wx) + v01 * wx) * (1 - wy)
-            + (v10 * (1 - wx) + v11 * wx) * wy)                 # (B,H,W,k,C)
-    return jnp.sum(samp * top_w[..., None], axis=3)
+    chans = []
+    for c in range(C):
+        samp = ((v00[c] * (1 - wx) + v01[c] * wx) * (1 - wy)
+                + (v10[c] * (1 - wx) + v11[c] * wx) * wy)        # (B,k,N)
+        chans.append(jnp.sum(samp * wk, axis=1))                 # (B,N)
+    out = jnp.stack(chans, axis=1).reshape(B, C, H, W)
+    return jnp.moveaxis(out, 1, -1)                              # (B,H,W,C)

@@ -1,0 +1,25 @@
+"""Process-level JAX runtime setup shared by every entry point.
+
+Enables the persistent XLA compilation cache so the big jitted train step
+(minutes to compile at 512 px through a remote-compile TPU link) compiles
+once per machine, not once per process. Call setup_jax() before the first
+jit — every CLI entry point and bench.py does.
+"""
+
+from __future__ import annotations
+
+import os
+
+
+def setup_jax(cache_dir: str | None = None) -> None:
+    import jax
+
+    cache_dir = cache_dir or os.environ.get(
+        "NHVR_JAX_CACHE", os.path.expanduser("~/.cache/nhvr_jax"))
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:
+        pass  # older jax: cache flags absent; purely an optimization

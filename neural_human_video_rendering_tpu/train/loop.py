@@ -31,6 +31,7 @@ def run_training(opt, loader: BatchLoader, step_fn: Callable,
     reference's --data_ratio held-out split, made measurable)."""
     vis = Visualizer(opt)
     total_steps = 0
+    prof_active = False
     try:
         for epoch in range(start_epoch, epochs + 1):
             t_epoch = time.time()
@@ -38,8 +39,19 @@ def run_training(opt, loader: BatchLoader, step_fn: Callable,
                 if mesh is not None:
                     from ..parallel.mesh import shard_batch
                     batch = shard_batch(mesh, batch)
+                # jax.profiler trace window (SURVEY.md §5: the reference has
+                # no tracing at all; --profile_dir adds a real device trace)
+                if opt.profile_dir and total_steps == opt.profile_start:
+                    jax.profiler.start_trace(opt.profile_dir)
+                    prof_active = True
                 carry, metrics = step_fn(carry, batch)
                 total_steps += 1
+                if prof_active and total_steps >= opt.profile_start + opt.profile_steps:
+                    jax.tree.map(lambda x: x.block_until_ready()
+                                 if hasattr(x, "block_until_ready") else x, metrics)
+                    jax.profiler.stop_trace()
+                    prof_active = False
+                    print(f"[profile] trace written -> {opt.profile_dir}", flush=True)
                 if total_steps % opt.print_freq == 0:
                     vis.log_losses(epoch, it, jax.device_get(metrics),
                                    total_steps)
@@ -55,5 +67,7 @@ def run_training(opt, loader: BatchLoader, step_fn: Callable,
             if epoch % opt.save_epoch_freq == 0 or epoch == epochs:
                 save_fn(carry, epoch)
     finally:
+        if prof_active:
+            jax.profiler.stop_trace()
         vis.close()
     return carry
