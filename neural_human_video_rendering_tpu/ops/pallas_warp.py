@@ -124,11 +124,11 @@ def texture_warp(tex: jnp.ndarray, uv: jnp.ndarray, probs: jnp.ndarray,
     """
     from .grid_sample import texture_warp_topk
     P = tex.shape[1]
+    if use_pallas and _pallas_available():
+        from .pallas_warp2 import pallas_warp_supported, texture_warp_pallas
+        if pallas_warp_supported(tex, uv):
+            kk = k if 0 < k <= P else P
+            return texture_warp_pallas(tex, uv, probs, kk)
     if 0 < k < P:
         return texture_warp_topk(tex, uv, probs, k=k)
-    if use_pallas and _pallas_available() and uv.shape[1] % 8 == 0:
-        try:
-            return _texture_warp_pallas(tex, uv, probs)
-        except Exception:  # Mosaic feature gap -> reference path
-            pass
     return texture_warp_reference(tex, uv, probs)

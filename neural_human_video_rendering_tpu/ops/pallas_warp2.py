@@ -1,0 +1,381 @@
+"""Fused Pallas TPU kernel for the per-part texture warp (production v2).
+
+Why this exists: XLA's gather on TPU runs ~110M elements/s regardless of
+table size (measured) — the warp's ~50M texture taps cost ~0.7s forward and
+as much again backward, dominating the train step. Mosaic CAN gather at VPU
+speed, but only as same-shape ``take_along_axis`` within 128 lanes. This
+kernel reformulates the warp around that primitive:
+
+  * Texture tiles live TRANSPOSED in VMEM: texT[c', y] = tex[y, c'].
+  * Row fetch (stage A): one (128,128) lane-gather pulls texture row y[l]
+    for each of 128 pixel slots l.
+  * Column select (stage B): a one-hot sublane mask + reduce picks column
+    x[l] — no gather, no transpose.
+  * Part blending: dense loop over all P parts per pixel block, with the
+    whole (block, part) step predicated away when the block's top-k weight
+    mask is all-zero (``@pl.when``) — spatial coherence makes ~P/k of the
+    steps no-ops, so the dense loop costs ~what a sorted dispatch would,
+    without any sort/permutation (XLA gathers for dispatch would cost more
+    than they save).
+  * Backward texture gradient: per-tap rank-1 accumulation expressed as a
+    (128,128)x(128,128) MXU matmul of one-hot masks — no scatter anywhere.
+
+Top-k selection happens OUTSIDE the kernel as a dense weight tensor
+w[b,p,n] = prob if part p is among pixel n's top-k parts else 0, built
+with an argmax/threshold loop (elementwise, no gathers). k == P degenerates
+to the exact all-parts reference semantics.
+
+Interface matches ops.grid_sample.texture_warp_topk; equivalence is pinned
+by tests (interpret mode on CPU, compiled on TPU). Requires tile == 128 and
+H*W % 1024 == 0; the dispatcher falls back to the XLA path otherwise.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+_BLK_ROWS = 8
+_BLK_LANES = 128
+_BLK = _BLK_ROWS * _BLK_LANES   # pixel slots per block
+_TILE = 128                     # texture tile edge (Ht == Wt == 128)
+
+
+# ----------------------------------------------------------------------
+# XLA-side preparation: dense top-k weights + plane layout
+# ----------------------------------------------------------------------
+
+def _topk_dense_weights(fg: jnp.ndarray, k: int) -> jnp.ndarray:
+    """fg (B,P,N) probs -> w (B,P,N): prob where in top-k else 0.
+
+    Built by finding the k-th largest value per pixel with an argmax/mask
+    loop and thresholding — elementwise, gather-free. The mask is treated
+    as constant under autodiff (same semantics as top_k's gradient).
+    """
+    P = fg.shape[1]
+    k = min(k, P)
+    if k >= P:
+        return fg
+    part_ids = jnp.arange(P, dtype=jnp.int32)[None, :, None]
+    remaining = jax.lax.stop_gradient(fg)
+    thr = None
+    for _ in range(k):
+        a = jnp.argmax(remaining, axis=1).astype(jnp.int32)
+        a_e = a[:, None, :]
+        thr = jnp.take_along_axis(remaining, a_e, axis=1)
+        remaining = jnp.where(part_ids == a_e, -jnp.inf, remaining)
+    mask = fg >= thr    # thr is stop-gradient; ties only widen the blend
+    return jnp.where(jax.lax.stop_gradient(mask), fg, 0.0)
+
+
+def _to_planes(tex, uv, probs, k):
+    """Returns (texT (B,P,C,T,T), u,v,w (B,P,NB,8,128), shapes)."""
+    B, P, Ht, Wt, C = tex.shape
+    H, W = uv.shape[1], uv.shape[2]
+    N = H * W
+    NB = N // _BLK
+    fg = jnp.moveaxis(probs[..., 1:], -1, 1).reshape(B, P, N)
+    u = jnp.moveaxis(uv[..., 0], -1, 1).reshape(B, P, N)
+    v = jnp.moveaxis(uv[..., 1], -1, 1).reshape(B, P, N)
+    w = _topk_dense_weights(fg, k)
+    shp = (B, P, NB, _BLK_ROWS, _BLK_LANES)
+    u = u.reshape(shp)
+    v = v.reshape(shp)
+    w = w.reshape(shp)
+    # transposed tiles: texT[b,p,c,col,row] = tex[b,p,row,col,c]
+    texT = jnp.transpose(tex, (0, 1, 4, 3, 2))
+    return texT.astype(jnp.float32), u.astype(jnp.float32), \
+        v.astype(jnp.float32), w.astype(jnp.float32), (B, P, C, H, W, NB)
+
+
+def _coords(u_row, v_row):
+    """(1,128) uv rows -> integer taps + fractional weights (all (1,128))."""
+    x = u_row * (_TILE - 1)
+    y = v_row * (_TILE - 1)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    wx = x - x0f
+    wy = y - y0f
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, _TILE - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, _TILE - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, _TILE - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, _TILE - 1)
+    return x0, x1, y0, y1, wx, wy
+
+
+def _row_gather(texT_c, y_row):
+    """rowsT[c', l] = tex[y_row[l], c']  — (128,128) lane-gather."""
+    by = jnp.broadcast_to(y_row, (_TILE, _BLK_LANES))
+    return jnp.take_along_axis(texT_c, by, axis=1)
+
+
+def _col_masks(x0, x1):
+    iota_sub = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _BLK_LANES), 0)
+    m0 = (iota_sub == jnp.broadcast_to(x0, (_TILE, _BLK_LANES)))
+    m1 = (iota_sub == jnp.broadcast_to(x1, (_TILE, _BLK_LANES)))
+    return m0.astype(jnp.float32), m1.astype(jnp.float32)
+
+
+# ----------------------------------------------------------------------
+# forward kernel: grid (B, NB, P) — P innermost so the output block stays
+# resident and accumulates across parts
+# ----------------------------------------------------------------------
+
+def _fwd_kernel(u_ref, v_ref, w_ref, texT_ref, out_ref):
+    p = pl.program_id(2)
+
+    @pl.when(p == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    w_all = w_ref[...]
+
+    @pl.when(jnp.max(w_all) > 0.0)
+    def _active():
+        C = texT_ref.shape[0]
+        u_all = u_ref[...]
+        v_all = v_ref[...]
+        acc = [[None] * _BLK_ROWS for _ in range(C)]
+        for r in range(_BLK_ROWS):
+            u_row = u_all[r:r + 1, :]
+            v_row = v_all[r:r + 1, :]
+            w_row = w_all[r:r + 1, :]
+            x0, x1, y0, y1, wx, wy = _coords(u_row, v_row)
+            m0, m1 = _col_masks(x0, x1)
+            for c in range(C):
+                texT_c = texT_ref[c]
+                rT0 = _row_gather(texT_c, y0)
+                rT1 = _row_gather(texT_c, y1)
+                v00 = jnp.sum(rT0 * m0, axis=0, keepdims=True)
+                v01 = jnp.sum(rT0 * m1, axis=0, keepdims=True)
+                v10 = jnp.sum(rT1 * m0, axis=0, keepdims=True)
+                v11 = jnp.sum(rT1 * m1, axis=0, keepdims=True)
+                samp = ((v00 * (1 - wx) + v01 * wx) * (1 - wy)
+                        + (v10 * (1 - wx) + v11 * wx) * wy)
+                acc[c][r] = samp * w_row
+        res = jnp.stack([jnp.concatenate(acc[c], axis=0) for c in range(C)])
+        out_ref[...] += res
+
+
+# ----------------------------------------------------------------------
+# backward kernel: grid (B, P, NB) — NB innermost so the dtexT block stays
+# resident and accumulates across pixel blocks
+# ----------------------------------------------------------------------
+
+def _bwd_kernel(u_ref, v_ref, w_ref, texT_ref, g_ref,
+                du_ref, dv_ref, dw_ref, dtexT_ref):
+    nb = pl.program_id(2)
+
+    @pl.when(nb == 0)
+    def _init():
+        dtexT_ref[...] = jnp.zeros_like(dtexT_ref)
+
+    du_ref[...] = jnp.zeros_like(du_ref)
+    dv_ref[...] = jnp.zeros_like(dv_ref)
+    dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    w_all = w_ref[...]
+
+    @pl.when(jnp.max(w_all) > 0.0)
+    def _active():
+        C = texT_ref.shape[0]
+        u_all = u_ref[...]
+        v_all = v_ref[...]
+        g_all = g_ref[...]                      # (C, 8, 128)
+        du_rows = [None] * _BLK_ROWS
+        dv_rows = [None] * _BLK_ROWS
+        dw_rows = [None] * _BLK_ROWS
+        dtex_acc = [jnp.zeros((_TILE, _TILE), jnp.float32) for _ in range(C)]
+        for r in range(_BLK_ROWS):
+            u_row = u_all[r:r + 1, :]
+            v_row = v_all[r:r + 1, :]
+            w_row = w_all[r:r + 1, :]
+            x0, x1, y0, y1, wx, wy = _coords(u_row, v_row)
+            m0, m1 = _col_masks(x0, x1)
+            # one-hot row masks (y-on-sublanes, slot-on-lanes) — same
+            # orientation as the column masks, so no cross-lane reshape;
+            # the matmul below contracts over the slot (lane) axis
+            oh_y0, oh_y1 = _col_masks(y0, y1)
+            du_acc = jnp.zeros((1, _BLK_LANES), jnp.float32)
+            dv_acc = jnp.zeros((1, _BLK_LANES), jnp.float32)
+            dw_acc = jnp.zeros((1, _BLK_LANES), jnp.float32)
+            for c in range(C):
+                texT_c = texT_ref[c]
+                g_row = g_all[c, r:r + 1, :]
+                rT0 = _row_gather(texT_c, y0)
+                rT1 = _row_gather(texT_c, y1)
+                v00 = jnp.sum(rT0 * m0, axis=0, keepdims=True)
+                v01 = jnp.sum(rT0 * m1, axis=0, keepdims=True)
+                v10 = jnp.sum(rT1 * m0, axis=0, keepdims=True)
+                v11 = jnp.sum(rT1 * m1, axis=0, keepdims=True)
+                top = v00 * (1 - wx) + v01 * wx
+                bot = v10 * (1 - wx) + v11 * wx
+                samp = top * (1 - wy) + bot * wy
+                gw = g_row * w_row
+                # d/duv (chain through x = u*(T-1), y = v*(T-1))
+                du_acc += gw * ((v01 - v00) * (1 - wy) + (v11 - v10) * wy) \
+                    * (_TILE - 1)
+                dv_acc += gw * (bot - top) * (_TILE - 1)
+                dw_acc += g_row * samp
+                # dtexT[c', y] += sum_l m_x[c', l] * coef[l] * oh_y[l, y]
+                c00 = gw * (1 - wx) * (1 - wy)
+                c01 = gw * wx * (1 - wy)
+                c10 = gw * (1 - wx) * wy
+                c11 = gw * wx * wy
+                a0 = m0 * c00 + m1 * c01          # (c'=128, l=128)
+                a1 = m0 * c10 + m1 * c11
+                # dtexT[c', y] += sum_l a[c', l] * oh_y[y, l]
+                contract = (((1,), (1,)), ((), ()))
+                dtex_acc[c] = dtex_acc[c] + jax.lax.dot_general(
+                    a0, oh_y0, contract,
+                    preferred_element_type=jnp.float32) + jax.lax.dot_general(
+                    a1, oh_y1, contract,
+                    preferred_element_type=jnp.float32)
+            du_rows[r] = du_acc
+            dv_rows[r] = dv_acc
+            dw_rows[r] = dw_acc
+        du_ref[...] = jnp.concatenate(du_rows, axis=0)
+        dv_ref[...] = jnp.concatenate(dv_rows, axis=0)
+        dw_ref[...] = jnp.concatenate(dw_rows, axis=0)
+        dtexT_ref[...] += jnp.stack(dtex_acc)
+
+
+# ----------------------------------------------------------------------
+# pallas_call wrappers
+# ----------------------------------------------------------------------
+
+def _interpret_mode() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _fwd_call(texT, u, v, w, dims):
+    B, P, C, H, W, NB = dims
+    out = pl.pallas_call(
+        _fwd_kernel,
+        grid=(B, NB, P),
+        in_specs=[
+            pl.BlockSpec((None, None, None, _BLK_ROWS, _BLK_LANES),
+                         lambda b, nb, p: (b, p, nb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, None, _BLK_ROWS, _BLK_LANES),
+                         lambda b, nb, p: (b, p, nb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, None, _BLK_ROWS, _BLK_LANES),
+                         lambda b, nb, p: (b, p, nb, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, C, _TILE, _TILE),
+                         lambda b, nb, p: (b, p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, None, C, _BLK_ROWS, _BLK_LANES),
+                               lambda b, nb, p: (b, nb, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, NB, C, _BLK_ROWS, _BLK_LANES),
+                                       jnp.float32),
+        interpret=_interpret_mode(),
+    )(u, v, w, texT)
+    return out
+
+
+def _bwd_call(texT, u, v, w, g_planes, dims):
+    B, P, C, H, W, NB = dims
+    blk = pl.BlockSpec((None, None, None, _BLK_ROWS, _BLK_LANES),
+                       lambda b, p, nb: (b, p, nb, 0, 0),
+                       memory_space=pltpu.VMEM)
+    du, dv, dw, dtexT = pl.pallas_call(
+        _bwd_kernel,
+        grid=(B, P, NB),
+        in_specs=[
+            blk, blk, blk,
+            pl.BlockSpec((None, None, C, _TILE, _TILE),
+                         lambda b, p, nb: (b, p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, C, _BLK_ROWS, _BLK_LANES),
+                         lambda b, p, nb: (b, nb, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            blk, blk, blk,
+            pl.BlockSpec((None, None, C, _TILE, _TILE),
+                         lambda b, p, nb: (b, p, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, P, NB, _BLK_ROWS, _BLK_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, NB, _BLK_ROWS, _BLK_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, NB, _BLK_ROWS, _BLK_LANES), jnp.float32),
+            jax.ShapeDtypeStruct((B, P, C, _TILE, _TILE), jnp.float32),
+        ],
+        interpret=_interpret_mode(),
+    )(u, v, w, texT, g_planes)
+    return du, dv, dw, dtexT
+
+
+# ----------------------------------------------------------------------
+# public op with custom VJP
+# ----------------------------------------------------------------------
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def texture_warp_pallas(tex: jnp.ndarray, uv: jnp.ndarray,
+                        probs: jnp.ndarray, k: int = 4) -> jnp.ndarray:
+    """Fused Pallas texture warp. Same contract as texture_warp_topk."""
+    out, _ = _texture_warp_fwd(tex, uv, probs, k)
+    return out
+
+
+def _texture_warp_fwd(tex, uv, probs, k):
+    B, P, Ht, Wt, C = tex.shape
+    H, W = uv.shape[1], uv.shape[2]
+    texT, u, v, w, dims = _to_planes(tex, uv, probs, k)
+    out_planes = _fwd_call(texT, u, v, w, dims)           # (B,NB,C,8,128)
+    out = jnp.moveaxis(out_planes.reshape(B, H * W // _BLK, C, _BLK),
+                       2, 3).reshape(B, H, W, C)
+    return out, (tex, uv, probs)
+
+
+def _texture_warp_bwd(k, res, g):
+    tex, uv, probs = res
+    B, P, Ht, Wt, C = tex.shape
+    H, W = uv.shape[1], uv.shape[2]
+    N = H * W
+    texT, u, v, w, dims = _to_planes(tex, uv, probs, k)
+    NB = dims[5]
+    g_planes = jnp.moveaxis(
+        g.reshape(B, NB, _BLK, C).astype(jnp.float32), 3, 2
+    ).reshape(B, NB, C, _BLK_ROWS, _BLK_LANES)
+    du_p, dv_p, dw_p, dtexT = _bwd_call(texT, u, v, w, g_planes, dims)
+
+    # planes -> original layouts
+    def planes_to_bhwp(x):
+        return jnp.moveaxis(x.reshape(B, P, N), 1, -1).reshape(B, H, W, P)
+
+    du = planes_to_bhwp(du_p)
+    dv = planes_to_bhwp(dv_p)
+    # the kernel computes dw densely for every part in an active block;
+    # only top-k-selected parts (w > 0) actually contributed to the output
+    dw = planes_to_bhwp(jnp.where(w > 0, dw_p, 0.0))
+    duv = jnp.stack([du, dv], axis=-1)                    # (B,H,W,P,2)
+    # w = probs[..., 1:] masked (mask const): dprobs fg channels = dw
+    dprobs = jnp.concatenate(
+        [jnp.zeros((B, H, W, 1), dw.dtype), dw], axis=-1)
+    dtex = jnp.transpose(dtexT, (0, 1, 4, 3, 2))          # undo the T
+    return dtex.astype(tex.dtype), duv.astype(uv.dtype), dprobs.astype(probs.dtype)
+
+
+texture_warp_pallas.defvjp(_texture_warp_fwd, _texture_warp_bwd)
+
+
+def pallas_warp_supported(tex, uv) -> bool:
+    B, P, Ht, Wt, C = tex.shape
+    H, W = uv.shape[1], uv.shape[2]
+    return (Ht == _TILE and Wt == _TILE and (H * W) % _BLK == 0
+            and uv.shape[3] == P)
+
+
+# deferred imports used inside kernels (kept at bottom so module import
+# works even where pallas is unavailable; kernels only run under pallas_call)
+from jax.experimental import pallas as pl          # noqa: E402
+from jax.experimental.pallas import tpu as pltpu   # noqa: E402
