@@ -333,16 +333,19 @@ def _texture_warp_fwd(tex, uv, probs, k):
     out_planes = _fwd_call(texT, u, v, w, dims)           # (B,NB,C,8,128)
     out = jnp.moveaxis(out_planes.reshape(B, H * W // _BLK, C, _BLK),
                        2, 3).reshape(B, H, W, C)
-    return out, (tex, uv, probs)
+    # residuals are the plane-layout tensors: the backward then skips the
+    # (B,H,W,P)->(B,P,N) transposes, which the device trace shows cost
+    # ~100 ms/step at 512px when recomputed
+    dtype_tokens = (jnp.zeros((0,), tex.dtype), jnp.zeros((0,), uv.dtype),
+                    jnp.zeros((0,), probs.dtype))
+    return out, (texT, u, v, w, dims, dtype_tokens)
 
 
 def _texture_warp_bwd(k, res, g):
-    tex, uv, probs = res
-    B, P, Ht, Wt, C = tex.shape
-    H, W = uv.shape[1], uv.shape[2]
+    texT, u, v, w, dims, dtype_tokens = res
+    tex_dt, uv_dt, probs_dt = (t.dtype for t in dtype_tokens)
+    B, P, C, H, W, NB = dims
     N = H * W
-    texT, u, v, w, dims = _to_planes(tex, uv, probs, k)
-    NB = dims[5]
     g_planes = jnp.moveaxis(
         g.reshape(B, NB, _BLK, C).astype(jnp.float32), 3, 2
     ).reshape(B, NB, C, _BLK_ROWS, _BLK_LANES)
@@ -362,7 +365,7 @@ def _texture_warp_bwd(k, res, g):
     dprobs = jnp.concatenate(
         [jnp.zeros((B, H, W, 1), dw.dtype), dw], axis=-1)
     dtex = jnp.transpose(dtexT, (0, 1, 4, 3, 2))          # undo the T
-    return dtex.astype(tex.dtype), duv.astype(uv.dtype), dprobs.astype(probs.dtype)
+    return dtex.astype(tex_dt), duv.astype(uv_dt), dprobs.astype(probs_dt)
 
 
 texture_warp_pallas.defvjp(_texture_warp_fwd, _texture_warp_bwd)
