@@ -137,6 +137,7 @@ class Options:
     warp_topk: int = 4               # top-k part sampling in the texture warp (0/24 = all parts)
     pad_mode: str = "reflect"        # conv padding: reflect (pix2pixHD parity) | same (faster)
     upsample_mode: str = "deconv"    # decoder upsample: deconv (parity) | resize (faster, no checkerboard)
+    debug_nans: bool = False         # jax_debug_nans: fail fast on non-finite values (SURVEY.md §5 sanitizers)
     profile_dir: str = ""            # write a jax.profiler trace of steps [profile_start, profile_start+profile_steps)
     profile_start: int = 3
     profile_steps: int = 5

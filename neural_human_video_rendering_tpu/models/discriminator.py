@@ -37,13 +37,13 @@ class NLayerDiscriminator(nn.Module):
             nf = min(nf * 2, 512)
             x = nn.Conv(nf, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
                         dtype=self.dtype, param_dtype=jnp.float32)(x)
-            x = InstanceNorm()(x.astype(jnp.float32)).astype(self.dtype)
+            x = InstanceNorm()(x)
             x = nn.leaky_relu(x, 0.2)
             feats.append(x)
         nf = min(nf * 2, 512)
         x = nn.Conv(nf, (4, 4), strides=(1, 1), padding=((2, 2), (2, 2)),
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
-        x = InstanceNorm()(x.astype(jnp.float32)).astype(self.dtype)
+        x = InstanceNorm()(x)
         x = nn.leaky_relu(x, 0.2)
         feats.append(x)
         x = nn.Conv(1, (4, 4), strides=(1, 1), padding=((2, 2), (2, 2)),

@@ -107,11 +107,13 @@ class TexG(nn.Module):
     @nn.compact
     def __call__(self, pose: jnp.ndarray) -> jnp.ndarray:
         """pose (B,H,W,Cp) -> residual (B, P, tile, tile, 3) in [-1,1]."""
-        B, H = pose.shape[0], pose.shape[1]
-        if H != self.tile:
-            # resize pose context to tile resolution (H must be >= tile)
-            factor = max(H // self.tile, 1)
-            pose = nn.avg_pool(pose, (factor, factor), strides=(factor, factor))
+        B, H, W = pose.shape[0], pose.shape[1], pose.shape[2]
+        if H != self.tile or W != self.tile:
+            # bring pose context to tile resolution exactly (works for any
+            # loadSize, e.g. the reference tex-pretrain's 200px with 128 tiles)
+            import jax
+            pose = jax.image.resize(
+                pose, (B, self.tile, self.tile, pose.shape[-1]), "linear")
         out = GlobalGenerator(self.n_parts * 3, self.ngf, self.n_downsampling,
                               self.n_blocks, final_tanh=True,
                               pad_mode=self.pad_mode,

@@ -20,14 +20,22 @@ Dtype = Any
 
 class InstanceNorm(nn.Module):
     """Per-sample, per-channel normalization over H, W (affine=False,
-    matching pix2pixHD's InstanceNorm2d default)."""
+    matching pix2pixHD's InstanceNorm2d default).
+
+    Statistics accumulate in float32 regardless of input dtype; the
+    normalized output keeps the input dtype — no fp32 copies of the
+    activation are materialized between bf16 convs.
+    """
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        mean = jnp.mean(x, axis=(-3, -2), keepdims=True)
-        var = jnp.var(x, axis=(-3, -2), keepdims=True)
-        return (x - mean) * jax.lax.rsqrt(var + self.eps)
+        mean = jnp.mean(x, axis=(-3, -2), keepdims=True, dtype=jnp.float32)
+        var = jnp.mean(
+            jnp.square(x.astype(jnp.float32) - mean), axis=(-3, -2),
+            keepdims=True)
+        scale = jax.lax.rsqrt(var + self.eps)
+        return ((x.astype(jnp.float32) - mean) * scale).astype(x.dtype)
 
 
 def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
@@ -63,7 +71,7 @@ class ConvNormRelu(nn.Module):
                     strides=(self.stride, self.stride), padding=padding,
                     dtype=self.dtype, param_dtype=jnp.float32)(x)
         if self.use_norm:
-            x = InstanceNorm()(x.astype(jnp.float32)).astype(self.dtype)
+            x = InstanceNorm()(x)
         if self.use_relu:
             x = nn.relu(x)
         return x
@@ -106,5 +114,5 @@ class Upsample(nn.Module):
             x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
                                  padding="SAME", dtype=self.dtype,
                                  param_dtype=jnp.float32)(x)
-        x = InstanceNorm()(x.astype(jnp.float32)).astype(self.dtype)
+        x = InstanceNorm()(x)
         return nn.relu(x)

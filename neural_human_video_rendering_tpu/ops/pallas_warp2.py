@@ -251,11 +251,22 @@ def _interpret_mode() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _kernel_cost(dims):
+    # declare the true cost so XLA's remat/scheduling heuristics never
+    # decide to re-execute the kernel instead of keeping its (small) output
+    B, P, C, H, W, NB = dims
+    slots = B * H * W
+    return pl.CostEstimate(flops=slots * P * C * 40,
+                           bytes_accessed=slots * P * 4 * 4,
+                           transcendentals=0)
+
+
 def _fwd_call(texT, u, v, w, dims):
     B, P, C, H, W, NB = dims
     out = pl.pallas_call(
         _fwd_kernel,
         grid=(B, NB, P),
+        cost_estimate=_kernel_cost(dims),
         in_specs=[
             pl.BlockSpec((None, None, None, _BLK_ROWS, _BLK_LANES),
                          lambda b, nb, p: (b, p, nb, 0, 0),
@@ -288,6 +299,7 @@ def _bwd_call(texT, u, v, w, g_planes, dims):
     du, dv, dw, dtexT = pl.pallas_call(
         _bwd_kernel,
         grid=(B, P, NB),
+        cost_estimate=_kernel_cost(dims),
         in_specs=[
             blk, blk, blk,
             pl.BlockSpec((None, None, C, _TILE, _TILE),

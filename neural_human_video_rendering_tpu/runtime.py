@@ -11,8 +11,11 @@ from __future__ import annotations
 import os
 
 
-def setup_jax(cache_dir: str | None = None) -> None:
+def setup_jax(cache_dir: str | None = None, debug_nans: bool = False) -> None:
     import jax
+
+    if debug_nans:
+        jax.config.update("jax_debug_nans", True)
 
     cache_dir = cache_dir or os.environ.get(
         "NHVR_JAX_CACHE", os.path.expanduser("~/.cache/nhvr_jax"))

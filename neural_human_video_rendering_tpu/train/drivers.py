@@ -55,6 +55,16 @@ def _assets(opt, ds):
     return tex, bg
 
 
+def _tex_mask(opt, tex: np.ndarray) -> Optional[np.ndarray]:
+    """(P,T,T,1) validity mask of atlas texels for --use_mask_texture
+    (reference: test_start/start.sh:18): texels the unfold actually filled
+    (non-background) are valid; the dynamic residual is confined to them."""
+    if not opt.use_mask_texture:
+        return None
+    filled = (np.abs(tex + 1.0).sum(-1, keepdims=True) > 0.05).astype(np.float32)
+    return filled
+
+
 def _device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
@@ -64,11 +74,15 @@ def _device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
 # ----------------------------------------------------------------------
 
 def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None):
+    if opt.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     ds = _dataset(opt, "train")
     loader = dsm.BatchLoader(ds, opt.batchSize, shuffle=not opt.serial_batches,
                              seed=opt.seed)
     tex, bg = _assets(opt, ds)
-    bundle = create_train_state(opt, jax.random.PRNGKey(opt.seed), tex, bg)
+    tex_mask = _tex_mask(opt, tex)
+    bundle = create_train_state(opt, jax.random.PRNGKey(opt.seed), tex, bg,
+                                tex_mask=tex_mask)
     state = bundle["state"]
 
     run_dir = opt.run_dir
@@ -206,6 +220,10 @@ class _TexDataset:
         self.files = (sorted(os.listdir(opt.part_texture_path))
                       if opt.part_texture_path and os.path.isdir(opt.part_texture_path)
                       else [])
+        # optional pose-conditioned texture GT (reference: pre_train_tex.sh:9)
+        self.pose_tex_files = (sorted(os.listdir(opt.pose_texture_path))
+                               if opt.pose_texture_path and os.path.isdir(opt.pose_texture_path)
+                               else [])
         self._static = (base.texture_atlas() if hasattr(base, "texture_atlas")
                         else np.zeros((opt.n_parts, opt.tex_tile, opt.tex_tile, 3),
                                       np.float32))
@@ -220,6 +238,12 @@ class _TexDataset:
                                 self.files[min(int(s["index"]), len(self.files) - 1)])
             s["part_texture"] = dsm.load_texture_atlas(
                 path, self.opt.tex_tile, self.opt.tex_rows, self.opt.tex_cols)
+            if self.pose_tex_files:
+                p2 = os.path.join(self.opt.pose_texture_path,
+                                  self.pose_tex_files[min(int(s["index"]),
+                                                          len(self.pose_tex_files) - 1)])
+                s["pose_texture"] = dsm.load_texture_atlas(
+                    p2, self.opt.tex_tile, self.opt.tex_rows, self.opt.tex_cols)
         else:
             i = int(s["index"])
             s["part_texture"] = np.clip(

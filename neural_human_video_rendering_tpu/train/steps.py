@@ -209,7 +209,14 @@ def make_pretrain_tex_step(opt, texg, tx, static_tex, tex_mask=None):
             err = jnp.abs(dyn - gt)
             if tex_mask is not None:
                 err = err * tex_mask[None]
-            return jnp.mean(err), {}
+            loss = jnp.mean(err)
+            aux = {}
+            if "pose_texture" in batch:
+                # pose-conditioned texture supervision (pre_train_tex.sh:9)
+                pt = jnp.mean(jnp.abs(dyn - batch["pose_texture"]))
+                aux["Tex_pose"] = pt
+                loss = loss + pt
+            return loss, aux
 
         (total, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         ups, opt_state = tx.update(grads, opt_state, params)
