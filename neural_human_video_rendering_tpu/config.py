@@ -135,6 +135,8 @@ class Options:
     mesh_shape: str = ""             # e.g. "8" or "4,2"; empty = all devices, 1 axis
     use_pallas_warp: bool = True     # fused Pallas texture-warp kernel
     warp_topk: int = 4               # top-k part sampling in the texture warp (0/24 = all parts)
+    warp_block_parts: int = 8        # cap active parts per warp-kernel block (0 = no cap)
+    temporal_detach_prev: bool = True  # stop-grad the t-1 frame in the temporal loss (fwd-only prev render)
     pad_mode: str = "reflect"        # conv padding: reflect (pix2pixHD parity) | same (faster)
     upsample_mode: str = "deconv"    # decoder upsample: deconv (parity) | resize (faster, no checkerboard)
     debug_nans: bool = False         # jax_debug_nans: fail fast on non-finite values (SURVEY.md §5 sanitizers)

@@ -9,8 +9,13 @@ from ..models.vgg import FEATURE_WEIGHTS, VGG19Features
 
 
 def vgg_loss(vgg_params, fake: jnp.ndarray, real: jnp.ndarray,
-             dtype=jnp.float32) -> jnp.ndarray:
-    """Weighted L1 over the five VGG19 tap activations; real is stop-grad."""
+             dtype=jnp.bfloat16) -> jnp.ndarray:
+    """Weighted L1 over the five VGG19 tap activations; real is stop-grad.
+
+    Convs run in bf16 (the MXU-native dtype; fp32 convs are emulated at a
+    fraction of the rate on TPU) — the taps are compared in fp32, and the
+    perceptual L1 is robust to bf16 feature precision.
+    """
     model = VGG19Features(dtype=dtype)
     f_feats = model.apply({"params": vgg_params}, fake)
     r_feats = model.apply({"params": vgg_params}, jax.lax.stop_gradient(real))

@@ -24,18 +24,22 @@ class InstanceNorm(nn.Module):
 
     Statistics accumulate in float32 regardless of input dtype; the
     normalized output keeps the input dtype — no fp32 copies of the
-    activation are materialized between bf16 convs.
+    activation are materialized between bf16 convs. E[x] and E[x^2] are
+    taken in ONE fused pass over the activation (XLA multi-output fusion)
+    instead of the two-pass mean-then-centered-variance form: one fewer
+    full HBM read per norm, and fp32 accumulation keeps E[x^2]-E[x]^2
+    accurate at conv-activation scales.
     """
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        mean = jnp.mean(x, axis=(-3, -2), keepdims=True, dtype=jnp.float32)
-        var = jnp.mean(
-            jnp.square(x.astype(jnp.float32) - mean), axis=(-3, -2),
-            keepdims=True)
+        xf = x.astype(jnp.float32)
+        mean = jnp.mean(xf, axis=(-3, -2), keepdims=True)
+        sqmean = jnp.mean(jnp.square(xf), axis=(-3, -2), keepdims=True)
+        var = jnp.maximum(sqmean - jnp.square(mean), 0.0)
         scale = jax.lax.rsqrt(var + self.eps)
-        return ((x.astype(jnp.float32) - mean) * scale).astype(x.dtype)
+        return ((xf - mean) * scale).astype(x.dtype)
 
 
 def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:

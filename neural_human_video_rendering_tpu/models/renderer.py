@@ -45,6 +45,7 @@ class NeuralRenderer(nn.Module):
     use_mask_texture: bool = False
     use_pallas: bool = True
     warp_k: int = 4
+    warp_block_parts: int = 8
     pad_mode: str = "reflect"
     upsample_mode: str = "deconv"
     dtype: Dtype = jnp.float32
@@ -57,13 +58,18 @@ class NeuralRenderer(nn.Module):
 
         Args:
           pose: (B, H, W, Cp) rasterized pose labels (+LaplaceProj channels).
-          bg: (B, H, W, 3) static background in [-1, 1].
-          static_tex: (B, P, T, T, 3) static per-part atlas in [-1, 1].
+          bg: (B or 1, H, W, 3) static background in [-1, 1]. Pass batch 1
+            when every sample shares the background (the training case:
+            one bg.jpg per person) — BGNet then runs once per step instead
+            of B times and the compositor broadcasts.
+          static_tex: (B or 1, P, T, T, 3) static per-part atlas in [-1, 1];
+            batch 1 broadcasts the shared atlas the same way.
           tex_mask: optional (P, T, T, 1) validity mask of atlas texels
             (--use_mask_texture, reference: test_start/start.sh:18).
 
         Returns dict: fake, fg, mask, probs, uv, logits, texture, bg_refined.
         """
+        B = pose.shape[0]
         logits, uv = TransG(self.n_parts, self.transg_ngf, self.transg_downs,
                             self.transg_blocks, pad_mode=self.pad_mode,
                             upsample_mode=self.upsample_mode,
@@ -80,9 +86,11 @@ class NeuralRenderer(nn.Module):
             if self.use_mask_texture and tex_mask is not None:
                 residual = residual * tex_mask[None]
             texture = jnp.clip(static_tex + residual, -1.0, 1.0)
+        if texture.shape[0] != B:
+            texture = jnp.broadcast_to(texture, (B,) + texture.shape[1:])
 
         fg = texture_warp(texture, uv, probs, use_pallas=self.use_pallas,
-                          k=self.warp_k)
+                          k=self.warp_k, block_parts=self.warp_block_parts)
 
         bg_refined = bg
         if self.use_bg:
@@ -118,6 +126,7 @@ def renderer_from_options(opt) -> NeuralRenderer:
         use_mask_texture=opt.use_mask_texture,
         use_pallas=opt.use_pallas_warp,
         warp_k=opt.warp_topk,
+        warp_block_parts=opt.warp_block_parts,
         pad_mode=opt.pad_mode,
         upsample_mode=opt.upsample_mode,
         dtype=dtype,

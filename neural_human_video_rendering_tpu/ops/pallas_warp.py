@@ -32,19 +32,22 @@ def _pallas_available() -> bool:
 
 
 def texture_warp(tex: jnp.ndarray, uv: jnp.ndarray, probs: jnp.ndarray,
-                 use_pallas: bool = True, k: int = 4) -> jnp.ndarray:
+                 use_pallas: bool = True, k: int = 4,
+                 block_parts: int = 0) -> jnp.ndarray:
     """Per-part texture warp + probability blend — the production op.
 
     tex (B,P,T,T,C) in [-1,1]; uv (B,H,W,P,2) in [0,1]; probs (B,H,W,P+1)
     with background at channel 0. Returns (B,H,W,C). Semantics pinned by
-    tests/test_ops.py and tests/test_pallas_warp.py.
+    tests/test_ops.py and tests/test_pallas_warp.py. block_parts caps the
+    Pallas kernel's active parts per 1024-pixel block (0 = no cap; only
+    affects near-uniform probabilities, see pallas_warp2 docs).
     """
     P = tex.shape[1]
     if use_pallas and _pallas_available():
         from .pallas_warp2 import pallas_warp_supported, texture_warp_pallas
         if pallas_warp_supported(tex, uv):
             kk = k if 0 < k <= P else P
-            return texture_warp_pallas(tex, uv, probs, kk)
+            return texture_warp_pallas(tex, uv, probs, kk, block_parts)
     if 0 < k < P:
         return texture_warp_topk(tex, uv, probs, k=k)
     return texture_warp_reference(tex, uv, probs)

@@ -48,30 +48,54 @@ _TILE = 128                     # texture tile edge (Ht == Wt == 128)
 # XLA-side preparation: dense top-k weights + plane layout
 # ----------------------------------------------------------------------
 
-def _topk_dense_weights(fg: jnp.ndarray, k: int) -> jnp.ndarray:
+def _topk_dense_weights(fg: jnp.ndarray, k: int,
+                        block_parts: int = 0) -> jnp.ndarray:
     """fg (B,P,N) probs -> w (B,P,N): prob where in top-k else 0.
 
-    Built by finding the k-th largest value per pixel with an argmax/mask
-    loop and thresholding — elementwise, gather-free. The mask is treated
-    as constant under autodiff (same semantics as top_k's gradient).
+    Value-only selection: the k-th largest value per pixel is found with a
+    max/mask loop — plain max reductions over the part axis, no argmax, no
+    gathers (the earlier argmax+take_along_axis formulation cost ~80 ms/step
+    at 512px; variadic iota-reduce and XLA gather are both VPU-bound slow).
+    Ties at the threshold only widen the blend. The selection mask is
+    constant under autodiff (same semantics as top_k's gradient).
+
+    block_parts > 0 additionally caps how many parts stay active per
+    (batch, 1024-pixel kernel block): parts below the block's top-
+    `block_parts` total mass are zeroed. Per-pixel top-k already bounds the
+    blend; this bounds the *kernel's* per-block part loop, which otherwise
+    degenerates to all P parts early in training while part probabilities
+    are still near-uniform (spatially incoherent top-k). Once probabilities
+    peak — i.e. for any usable checkpoint — blocks activate far fewer than
+    `block_parts` parts and the cap selects exactly the same parts as plain
+    top-k.
     """
     P = fg.shape[1]
     k = min(k, P)
-    if k >= P:
-        return fg
-    part_ids = jnp.arange(P, dtype=jnp.int32)[None, :, None]
-    remaining = jax.lax.stop_gradient(fg)
-    thr = None
-    for _ in range(k):
-        a = jnp.argmax(remaining, axis=1).astype(jnp.int32)
-        a_e = a[:, None, :]
-        thr = jnp.take_along_axis(remaining, a_e, axis=1)
-        remaining = jnp.where(part_ids == a_e, -jnp.inf, remaining)
-    mask = fg >= thr    # thr is stop-gradient; ties only widen the blend
-    return jnp.where(jax.lax.stop_gradient(mask), fg, 0.0)
+    if k < P:
+        remaining = jax.lax.stop_gradient(fg)
+        for _ in range(k - 1):
+            m = jnp.max(remaining, axis=1, keepdims=True)
+            remaining = jnp.where(remaining >= m, -jnp.inf, remaining)
+        thr = jnp.max(remaining, axis=1, keepdims=True)
+        mask = fg >= thr
+        w = jnp.where(jax.lax.stop_gradient(mask), fg, 0.0)
+    else:
+        w = fg
+    if 0 < block_parts < P:
+        B, _, N = w.shape
+        blk = w.reshape(B, P, N // _BLK, _BLK)
+        m_blk = jax.lax.stop_gradient(jnp.sum(blk, axis=3))     # (B,P,NB)
+        remaining = m_blk
+        for _ in range(block_parts - 1):
+            m = jnp.max(remaining, axis=1, keepdims=True)
+            remaining = jnp.where(remaining >= m, -jnp.inf, remaining)
+        thr = jnp.max(remaining, axis=1, keepdims=True)
+        keep = (m_blk >= thr)[..., None]                        # (B,P,NB,1)
+        w = jnp.where(keep, blk, 0.0).reshape(B, P, N)
+    return w
 
 
-def _to_planes(tex, uv, probs, k):
+def _to_planes(tex, uv, probs, k, block_parts=0):
     """Returns (texT (B,P,C,T,T), u,v,w (B,P,NB,8,128), shapes)."""
     B, P, Ht, Wt, C = tex.shape
     H, W = uv.shape[1], uv.shape[2]
@@ -80,7 +104,7 @@ def _to_planes(tex, uv, probs, k):
     fg = jnp.moveaxis(probs[..., 1:], -1, 1).reshape(B, P, N)
     u = jnp.moveaxis(uv[..., 0], -1, 1).reshape(B, P, N)
     v = jnp.moveaxis(uv[..., 1], -1, 1).reshape(B, P, N)
-    w = _topk_dense_weights(fg, k)
+    w = _topk_dense_weights(fg, k, block_parts)
     shp = (B, P, NB, _BLK_ROWS, _BLK_LANES)
     u = u.reshape(shp)
     v = v.reshape(shp)
@@ -330,18 +354,24 @@ def _bwd_call(texT, u, v, w, g_planes, dims):
 # public op with custom VJP
 # ----------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def texture_warp_pallas(tex: jnp.ndarray, uv: jnp.ndarray,
-                        probs: jnp.ndarray, k: int = 4) -> jnp.ndarray:
-    """Fused Pallas texture warp. Same contract as texture_warp_topk."""
-    out, _ = _texture_warp_fwd(tex, uv, probs, k)
+                        probs: jnp.ndarray, k: int = 4,
+                        block_parts: int = 0) -> jnp.ndarray:
+    """Fused Pallas texture warp. Same contract as texture_warp_topk.
+
+    block_parts > 0 caps active parts per kernel block (see
+    _topk_dense_weights) — bounds the untrained-regime cost at
+    ~block_parts/P of the dense loop with no effect once probs peak.
+    """
+    out, _ = _texture_warp_fwd(tex, uv, probs, k, block_parts)
     return out
 
 
-def _texture_warp_fwd(tex, uv, probs, k):
+def _texture_warp_fwd(tex, uv, probs, k, block_parts=0):
     B, P, Ht, Wt, C = tex.shape
     H, W = uv.shape[1], uv.shape[2]
-    texT, u, v, w, dims = _to_planes(tex, uv, probs, k)
+    texT, u, v, w, dims = _to_planes(tex, uv, probs, k, block_parts)
     out_planes = _fwd_call(texT, u, v, w, dims)           # (B,NB,C,8,128)
     out = jnp.moveaxis(out_planes.reshape(B, H * W // _BLK, C, _BLK),
                        2, 3).reshape(B, H, W, C)
@@ -353,7 +383,7 @@ def _texture_warp_fwd(tex, uv, probs, k):
     return out, (texT, u, v, w, dims, dtype_tokens)
 
 
-def _texture_warp_bwd(k, res, g):
+def _texture_warp_bwd(k, block_parts, res, g):
     texT, u, v, w, dims, dtype_tokens = res
     tex_dt, uv_dt, probs_dt = (t.dtype for t in dtype_tokens)
     B, P, C, H, W, NB = dims

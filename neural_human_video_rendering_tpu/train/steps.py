@@ -46,10 +46,15 @@ def build_pose_input(opt, joints: jnp.ndarray,
     return jnp.concatenate(chans, axis=-1)
 
 
-def _broadcast_assets(state: TrainState, batch_size: int):
-    tex = jnp.broadcast_to(state.static_tex, (batch_size,) + state.static_tex.shape)
-    bg = jnp.broadcast_to(state.bg, (batch_size,) + state.bg.shape)
-    return tex, bg
+def _shared_assets(state: TrainState):
+    """Static per-person assets as batch-1 tensors.
+
+    The background and texture atlas are the same for every sample, so they
+    enter the renderer with batch 1: BGNet runs once per step (not B times)
+    and XLA broadcasts in the compositor — same math, B x less conv work on
+    the bg path.
+    """
+    return state.static_tex[None], state.bg[None]
 
 
 # ----------------------------------------------------------------------
@@ -63,31 +68,41 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
     use_temporal = opt.lambda_Temp > 0
     use_vgg = (not opt.no_vgg_loss) and vgg_params is not None
     use_fm = not opt.no_ganFeat_loss
+    detach_prev = use_temporal and opt.temporal_detach_prev
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         B = batch["joints"].shape[0]
         pose = build_pose_input(opt, batch["joints"], batch.get("laplace"))
         real = batch["image"]
-        tex, bg = _broadcast_assets(state, B)
+        tex, bg = _shared_assets(state)
 
         if use_temporal:
             pose_prev = build_pose_input(opt, batch["joints_prev"],
                                          batch.get("laplace"))
+        if detach_prev:
+            # t-1 render is a forward-only target (stop-grad): the temporal
+            # loss pulls frame t toward the flow-warped frame t-1 but not
+            # the reverse. Saves the whole prev-frame backward INCLUDING the
+            # flow-warp's gather-transpose scatter (~180 ms/step at 512px);
+            # the symmetric pull is statistically redundant — both frames
+            # come from the same weights. --no_temporal_detach_prev restores
+            # the symmetric gradient.
+            prev_det = jax.lax.stop_gradient(renderer.apply(
+                {"params": state.g_params}, pose_prev, bg, tex,
+                state.tex_mask)["fake"])
 
         def g_loss_fn(g_params):
-            if use_temporal:
+            if use_temporal and not detach_prev:
                 # render t and t-1 in one forward (2B batch: MXU-friendly)
                 pose2 = jnp.concatenate([pose, pose_prev], axis=0)
-                outs = renderer.apply(
-                    {"params": g_params},
-                    pose2, jnp.concatenate([bg, bg], 0),
-                    jnp.concatenate([tex, tex], 0), state.tex_mask)
+                outs = renderer.apply({"params": g_params}, pose2, bg, tex,
+                                      state.tex_mask)
                 cur = jax.tree.map(lambda x: x[:B], outs)
                 prev_fake = outs["fake"][B:]
             else:
                 cur = renderer.apply({"params": g_params}, pose, bg, tex,
                                      state.tex_mask)
-                prev_fake = None
+                prev_fake = prev_det if detach_prev else None
             fake = cur["fake"]
 
             d_fake = disc.apply({"params": state.d_params},
@@ -151,11 +166,10 @@ def make_forward_fn(opt, renderer):
     """Jitted inference forward: joints (+laplace) -> rendered frame dict."""
     def fwd(g_params, state_assets, joints, laplace=None):
         static_tex, bg, tex_mask = state_assets
-        B = joints.shape[0]
         pose = build_pose_input(opt, joints, laplace)
-        tex = jnp.broadcast_to(static_tex, (B,) + static_tex.shape)
-        bgb = jnp.broadcast_to(bg, (B,) + bg.shape)
-        return renderer.apply({"params": g_params}, pose, bgb, tex, tex_mask)
+        # batch-1 shared assets: BGNet runs once, compositor broadcasts
+        return renderer.apply({"params": g_params}, pose, bg[None],
+                              static_tex[None], tex_mask)
     return jax.jit(fwd)
 
 

@@ -67,6 +67,51 @@ def test_block_skip_correctness():
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
 
 
+def test_block_part_cap_noop_when_peaked():
+    """With peaked probabilities the per-block part cap selects the same
+    parts as plain per-pixel top-k: identical output and gradients."""
+    rng = np.random.RandomState(3)
+    B, P, T, H, W = 1, 6, 128, 64, 64
+    tex = jnp.asarray(rng.rand(B, P, T, T, 3).astype(np.float32) * 2 - 1)
+    uv = jnp.asarray(rng.rand(B, H, W, P, 2).astype(np.float32))
+    # spatially coherent: one dominant part per 16-row band (= one kernel
+    # block at W=64), distinct sub-dominant logits so per-pixel top-2 is
+    # always within the block's top-4 mass
+    lg = np.empty((B, H, W, P + 1), np.float32)
+    lg[..., 0] = -8.0
+    for p in range(1, P + 1):
+        lg[..., p] = -8.0 + 0.1 * p
+    for band in range(4):
+        dom = 1 + (band * 2) % P
+        lg[:, band * 16:(band + 1) * 16, :, dom] = 8.0
+    probs = jnp.asarray(np.exp(lg) / np.exp(lg).sum(-1, keepdims=True))
+
+    def loss(t, u, p, cap):
+        return jnp.mean(texture_warp_pallas(t, u, p, 2, cap) ** 2)
+
+    ref, gref = jax.value_and_grad(loss, argnums=(0, 1, 2))(tex, uv, probs, 0)
+    out, gout = jax.value_and_grad(loss, argnums=(0, 1, 2))(tex, uv, probs, 4)
+    np.testing.assert_allclose(float(out), float(ref), atol=1e-6)
+    for name, a, b in zip(("dtex", "duv", "dprobs"), gref, gout):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-6,
+                                   err_msg=name)
+
+
+def test_block_part_cap_keeps_top_mass_parts():
+    """Under the cap, only the block's top-mass parts contribute."""
+    from neural_human_video_rendering_tpu.ops.pallas_warp2 import (
+        _topk_dense_weights)
+    rng = np.random.RandomState(5)
+    B, P, N = 1, 6, 2048  # 2 kernel blocks
+    fg = jnp.asarray(rng.rand(B, P, N).astype(np.float32))
+    w = np.asarray(_topk_dense_weights(fg, P, block_parts=2))
+    mass = np.asarray(fg).reshape(B, P, 2, 1024).sum(-1)  # (B,P,NB)
+    for nb in range(2):
+        active = {p for p in range(P) if w[0, p, nb * 1024:(nb + 1) * 1024].any()}
+        top2 = set(np.argsort(mass[0, :, nb])[-2:])
+        assert active == top2
+
+
 def test_dispatcher_uses_pallas_on_supported_shapes(monkeypatch):
     from neural_human_video_rendering_tpu.ops import pallas_warp as pw
     tex, uv, probs = _inputs()
