@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..ops.grid_sample import flow_warp
+from ..ops.pallas_flow_warp import flow_warp_fast as flow_warp
 
 
 def occlusion_mask(flow: jnp.ndarray, flow_inv: jnp.ndarray,
