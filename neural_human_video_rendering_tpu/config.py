@@ -137,6 +137,9 @@ class Options:
     warp_topk: int = 4               # top-k part sampling in the texture warp (0/24 = all parts)
     warp_block_parts: int = 8        # cap active parts per warp-kernel block (0 = no cap)
     temporal_detach_prev: bool = True  # stop-grad the t-1 frame in the temporal loss (fwd-only prev render)
+    stem_s2d: int = 2                # space-to-depth the generator stems (1 = pix2pixHD topology)
+    head_s2d: int = 2                # pixel-shuffle the generator heads (1 = pix2pixHD topology)
+    bg_s2d: int = 4                  # space-to-depth/pixel-shuffle factor for BGNet (1 = off)
     pad_mode: str = "reflect"        # conv padding: reflect (pix2pixHD parity) | same (faster)
     upsample_mode: str = "deconv"    # decoder upsample: deconv (parity) | resize (faster, no checkerboard)
     debug_nans: bool = False         # jax_debug_nans: fail fast on non-finite values (SURVEY.md §5 sanitizers)

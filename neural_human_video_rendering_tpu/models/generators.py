@@ -22,14 +22,28 @@ from typing import Any, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import ConvNormRelu, ResnetBlock, Upsample
+from .layers import (ConvNormRelu, ResnetBlock, Upsample, depth_to_space,
+                     space_to_depth)
 
 Dtype = Any
 
 
 class GlobalGenerator(nn.Module):
     """pix2pixHD GlobalGenerator: c7s1-ngf, n_down x d-stride2, n_blocks x
-    ResNet, n_down x u-stride2, c7s1-out."""
+    ResNet, n_down x u-stride2, c7s1-out.
+
+    TPU-native packing knobs (1 = exact pix2pixHD topology):
+      stem_s2d: space-to-depth the input by this factor and start the
+        encoder that many levels down the resolution/channel schedule —
+        the few-channel full-resolution stem conv is layout-bound on TPU
+        (see layers.space_to_depth). The trunk (resolution, channels) is
+        unchanged.
+      head_s2d: produce the last head_s2d levels of the decoder as a
+        pixel-shuffle: the final 7x7 conv emits out_nc*f^2 channels at
+        1/f resolution and depth_to_space rearranges — skips the last
+        upsample(s) and runs the wide head conv at MXU-friendly width.
+    Both factors must be powers of two <= 2**n_downsampling.
+    """
     out_nc: int
     ngf: int = 64
     n_downsampling: int = 4
@@ -37,24 +51,38 @@ class GlobalGenerator(nn.Module):
     final_tanh: bool = True
     pad_mode: str = "reflect"
     upsample_mode: str = "deconv"
+    stem_s2d: int = 1
+    head_s2d: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        s = self.stem_s2d.bit_length() - 1      # log2
+        h = self.head_s2d.bit_length() - 1
+        assert 2 ** s == self.stem_s2d and 2 ** h == self.head_s2d, \
+            "s2d factors must be powers of two"
+        # clamp to what the resolution schedule supports (tiny test configs)
+        s = min(s, self.n_downsampling)
+        h = min(h, self.n_downsampling)
         x = x.astype(self.dtype)
-        x = ConvNormRelu(self.ngf, 7, pad_mode=self.pad_mode,
+        if s:
+            x = space_to_depth(x, 2 ** s)
+        x = ConvNormRelu(self.ngf * 2 ** s, 7, pad_mode=self.pad_mode,
                          dtype=self.dtype)(x)
-        for i in range(self.n_downsampling):
+        for i in range(s, self.n_downsampling):
             x = ConvNormRelu(self.ngf * 2 ** (i + 1), 3, stride=2,
                              pad_mode=self.pad_mode, dtype=self.dtype)(x)
         for _ in range(self.n_blocks):
             x = ResnetBlock(self.ngf * 2 ** self.n_downsampling,
                             pad_mode=self.pad_mode, dtype=self.dtype)(x)
-        for i in range(self.n_downsampling):
+        for i in range(self.n_downsampling - h):
             x = Upsample(self.ngf * 2 ** (self.n_downsampling - i - 1),
                          mode=self.upsample_mode, dtype=self.dtype)(x)
-        x = ConvNormRelu(self.out_nc, 7, use_norm=False, use_relu=False,
-                         pad_mode=self.pad_mode, dtype=self.dtype)(x)
+        x = ConvNormRelu(self.out_nc * 4 ** h, 7, use_norm=False,
+                         use_relu=False, pad_mode=self.pad_mode,
+                         dtype=self.dtype)(x)
+        if h:
+            x = depth_to_space(x, 2 ** h)
         x = x.astype(jnp.float32)
         return jnp.tanh(x) if self.final_tanh else x
 
@@ -65,6 +93,8 @@ class TransG(nn.Module):
     ngf: int = 64
     n_downsampling: int = 4
     n_blocks: int = 9
+    stem_s2d: int = 1
+    head_s2d: int = 1
     pad_mode: str = "reflect"
     upsample_mode: str = "deconv"
     dtype: Dtype = jnp.float32
@@ -77,6 +107,8 @@ class TransG(nn.Module):
                               self.n_blocks, final_tanh=False,
                               pad_mode=self.pad_mode,
                               upsample_mode=self.upsample_mode,
+                              stem_s2d=self.stem_s2d,
+                              head_s2d=self.head_s2d,
                               dtype=self.dtype)(pose)
         logits = raw[..., : 1 + self.n_parts]
         uv = raw[..., 1 + self.n_parts:]
@@ -100,6 +132,8 @@ class TexG(nn.Module):
     ngf: int = 64
     n_downsampling: int = 2
     n_blocks: int = 5
+    stem_s2d: int = 1
+    head_s2d: int = 1
     pad_mode: str = "reflect"
     upsample_mode: str = "deconv"
     dtype: Dtype = jnp.float32
@@ -118,6 +152,8 @@ class TexG(nn.Module):
                               self.n_blocks, final_tanh=True,
                               pad_mode=self.pad_mode,
                               upsample_mode=self.upsample_mode,
+                              stem_s2d=self.stem_s2d,
+                              head_s2d=self.head_s2d,
                               dtype=self.dtype)(pose)
         out = out.reshape(B, self.tile, self.tile, self.n_parts, 3)
         return jnp.moveaxis(out, 3, 1)    # (B, P, T, T, 3)
@@ -128,6 +164,7 @@ class BGNet(nn.Module):
     ngf: int = 32
     n_downsampling: int = 2
     n_blocks: int = 2
+    s2d: int = 1
     pad_mode: str = "reflect"
     upsample_mode: str = "deconv"
     dtype: Dtype = jnp.float32
@@ -138,5 +175,6 @@ class BGNet(nn.Module):
         res = GlobalGenerator(3, self.ngf, self.n_downsampling, self.n_blocks,
                               final_tanh=True, pad_mode=self.pad_mode,
                               upsample_mode=self.upsample_mode,
+                              stem_s2d=self.s2d, head_s2d=self.s2d,
                               dtype=self.dtype)(bg)
         return jnp.clip(bg + res, -1.0, 1.0)

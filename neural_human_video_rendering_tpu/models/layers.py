@@ -46,6 +46,28 @@ def reflect_pad(x: jnp.ndarray, pad: int) -> jnp.ndarray:
     return jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)), mode="reflect")
 
 
+def space_to_depth(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """(B,H,W,C) -> (B,H/f,W/f,f*f*C): lossless spatial->channel repack.
+
+    TPU convs with very few channels (RGB images, sparse pose renders) run
+    far below MXU rate — the 128-lane contraction is mostly padding. Packing
+    f x f pixel neighborhoods onto channels trades spatial extent the MXU
+    doesn't use for channel depth it does (measured: BGNet's 3-channel
+    512px convs ran at 0.7 TF/s vs 70-90 TF/s for the wide trunk convs).
+    """
+    B, H, W, C = x.shape
+    x = x.reshape(B, H // f, f, W // f, f, C)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // f, W // f, f * f * C)
+
+
+def depth_to_space(x: jnp.ndarray, f: int) -> jnp.ndarray:
+    """(B,H,W,f*f*C) -> (B,H*f,W*f,C): inverse of space_to_depth."""
+    B, H, W, C = x.shape
+    c = C // (f * f)
+    x = x.reshape(B, H, W, f, f, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * f, W * f, c)
+
+
 class ConvNormRelu(nn.Module):
     """Pad -> Conv -> InstanceNorm -> ReLU.
 

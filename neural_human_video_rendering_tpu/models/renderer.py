@@ -46,6 +46,9 @@ class NeuralRenderer(nn.Module):
     use_pallas: bool = True
     warp_k: int = 4
     warp_block_parts: int = 8
+    stem_s2d: int = 1
+    head_s2d: int = 1
+    bg_s2d: int = 1
     pad_mode: str = "reflect"
     upsample_mode: str = "deconv"
     dtype: Dtype = jnp.float32
@@ -71,7 +74,8 @@ class NeuralRenderer(nn.Module):
         """
         B = pose.shape[0]
         logits, uv = TransG(self.n_parts, self.transg_ngf, self.transg_downs,
-                            self.transg_blocks, pad_mode=self.pad_mode,
+                            self.transg_blocks, stem_s2d=self.stem_s2d,
+                            head_s2d=self.head_s2d, pad_mode=self.pad_mode,
                             upsample_mode=self.upsample_mode,
                             dtype=self.dtype, name="TransG")(pose)
         probs = nn.softmax(logits, axis=-1)
@@ -80,6 +84,7 @@ class NeuralRenderer(nn.Module):
         if self.use_texg:
             residual = TexG(self.n_parts, self.tex_tile, self.texg_ngf,
                             self.texg_downs, self.texg_blocks,
+                            stem_s2d=self.stem_s2d, head_s2d=self.head_s2d,
                             pad_mode=self.pad_mode,
                             upsample_mode=self.upsample_mode,
                             dtype=self.dtype, name="TexG")(pose)
@@ -95,7 +100,7 @@ class NeuralRenderer(nn.Module):
         bg_refined = bg
         if self.use_bg:
             bg_refined = BGNet(32, self.bg_downs, self.bg_blocks,
-                               pad_mode=self.pad_mode,
+                               s2d=self.bg_s2d, pad_mode=self.pad_mode,
                                upsample_mode=self.upsample_mode,
                                dtype=self.dtype, name="BGNet")(bg)
 
@@ -127,6 +132,9 @@ def renderer_from_options(opt) -> NeuralRenderer:
         use_pallas=opt.use_pallas_warp,
         warp_k=opt.warp_topk,
         warp_block_parts=opt.warp_block_parts,
+        stem_s2d=opt.stem_s2d,
+        head_s2d=opt.head_s2d,
+        bg_s2d=opt.bg_s2d,
         pad_mode=opt.pad_mode,
         upsample_mode=opt.upsample_mode,
         dtype=dtype,

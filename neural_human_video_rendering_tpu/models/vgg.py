@@ -49,6 +49,7 @@ class VGG19Features(nn.Module):
         taps = []
         conv_i = 0
         for block, (width, n_convs) in enumerate(_CFG):
+            last_block = block == len(_CFG) - 1
             for c in range(n_convs):
                 x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype,
                             param_dtype=jnp.float32,
@@ -56,8 +57,10 @@ class VGG19Features(nn.Module):
                 x = nn.relu(x)
                 if c == 0:
                     taps.append(x.astype(jnp.float32))
+                    if last_block:
+                        return taps   # relu5_1 is the deepest tap used
                 conv_i += 1
-            if block != len(_CFG) - 1:
+            if not last_block:
                 x = nn.max_pool(x, (2, 2), strides=(2, 2))
         return taps
 
@@ -85,7 +88,9 @@ def load_pretrained(path: str):
     else:
         arrays = dict(np.load(path))
     params = {}
-    for conv_i, tv_i in enumerate(_TV_CONV_IDX):
+    # only convs up to the deepest tap (relu5_1 = torchvision features.28)
+    # exist in the module
+    for conv_i, tv_i in enumerate(_TV_CONV_IDX[:13]):
         w = arrays[f"features.{tv_i}.weight"]   # OIHW
         b = arrays[f"features.{tv_i}.bias"]
         params[f"conv{conv_i}"] = {

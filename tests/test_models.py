@@ -86,3 +86,32 @@ def test_vgg_taps():
     assert len(feats) == 5
     assert feats[0].shape == (1, 32, 32, 64)
     assert feats[4].shape == (1, 2, 2, 512)
+
+
+def test_space_to_depth_roundtrip():
+    import numpy as np
+    from neural_human_video_rendering_tpu.models.layers import (
+        depth_to_space, space_to_depth)
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 8, 12, 5).astype(np.float32))
+    for f in (2, 4):
+        y = space_to_depth(x, f)
+        assert y.shape == (2, 8 // f, 12 // f, f * f * 5)
+        np.testing.assert_array_equal(np.asarray(depth_to_space(y, f)),
+                                      np.asarray(x))
+
+
+def test_global_generator_s2d_shapes():
+    from neural_human_video_rendering_tpu.models.generators import (
+        GlobalGenerator)
+    m = GlobalGenerator(out_nc=7, ngf=4, n_downsampling=2, n_blocks=1,
+                        stem_s2d=2, head_s2d=2)
+    x = jnp.zeros((1, 32, 32, 3))
+    params = m.init(jax.random.PRNGKey(0), x)["params"]
+    y = m.apply({"params": params}, x)
+    assert y.shape == (1, 32, 32, 7)
+    # factors beyond the schedule clamp instead of failing
+    m4 = GlobalGenerator(out_nc=3, ngf=4, n_downsampling=1, n_blocks=1,
+                         stem_s2d=4, head_s2d=4)
+    params = m4.init(jax.random.PRNGKey(0), x)["params"]
+    assert m4.apply({"params": params}, x).shape == (1, 32, 32, 3)
