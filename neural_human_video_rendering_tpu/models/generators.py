@@ -75,9 +75,17 @@ class GlobalGenerator(nn.Module):
         for _ in range(self.n_blocks):
             x = ResnetBlock(self.ngf * 2 ** self.n_downsampling,
                             pad_mode=self.pad_mode, dtype=self.dtype)(x)
-        for i in range(self.n_downsampling - h):
-            x = Upsample(self.ngf * 2 ** (self.n_downsampling - i - 1),
-                         mode=self.upsample_mode, dtype=self.dtype)(x)
+        for i in range(self.n_downsampling):
+            feats = self.ngf * 2 ** (self.n_downsampling - i - 1)
+            if i < self.n_downsampling - h:
+                x = Upsample(feats, mode=self.upsample_mode,
+                             dtype=self.dtype)(x)
+            else:
+                # pixel-shuffle head: the skipped upsample becomes a
+                # stride-1 conv so the channel schedule (and the head
+                # conv's FLOPs) match the parity topology exactly
+                x = ConvNormRelu(feats, 3, pad_mode=self.pad_mode,
+                                 dtype=self.dtype)(x)
         x = ConvNormRelu(self.out_nc * 4 ** h, 7, use_norm=False,
                          use_relu=False, pad_mode=self.pad_mode,
                          dtype=self.dtype)(x)

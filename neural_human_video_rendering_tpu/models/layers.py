@@ -56,16 +56,23 @@ def space_to_depth(x: jnp.ndarray, f: int) -> jnp.ndarray:
     512px convs ran at 0.7 TF/s vs 70-90 TF/s for the wide trunk convs).
     """
     B, H, W, C = x.shape
-    x = x.reshape(B, H // f, f, W // f, f, C)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H // f, W // f, f * f * C)
+    # W-pack first: (W, C) -> (W/f, f*C) is a relayout-only reshape on the
+    # minor dims, so the only real data movement is ONE small transpose for
+    # the H interleave. The naive 6D transpose with (f, f, C) minor is
+    # catastrophically slow on TPU (measured 1.9 ms vs 3191 ms isolated at
+    # 512px — tiny minor dims defeat the (8,128) tiling).
+    x = x.reshape(B, H // f, f, W // f, f * C)
+    x = x.transpose(0, 1, 3, 2, 4)
+    return x.reshape(B, H // f, W // f, f * f * C)
 
 
 def depth_to_space(x: jnp.ndarray, f: int) -> jnp.ndarray:
     """(B,H,W,f*f*C) -> (B,H*f,W*f,C): inverse of space_to_depth."""
     B, H, W, C = x.shape
     c = C // (f * f)
-    x = x.reshape(B, H, W, f, f, c)
-    return x.transpose(0, 1, 3, 2, 4, 5).reshape(B, H * f, W * f, c)
+    x = x.reshape(B, H, W, f, f * c)       # split row-group / (col, chan)
+    x = x.transpose(0, 1, 3, 2, 4)         # (B, H, f, W, f*c)
+    return x.reshape(B, H * f, W * f, c)   # H and W merges are free
 
 
 class ConvNormRelu(nn.Module):
