@@ -140,7 +140,7 @@ class Options:
     stem_s2d: int = 2                # space-to-depth the generator stems (1 = pix2pixHD topology)
     head_s2d: int = 2                # pixel-shuffle the generator heads (1 = pix2pixHD topology)
     bg_s2d: int = 4                  # space-to-depth/pixel-shuffle factor for BGNet (1 = off)
-    pad_mode: str = "reflect"        # conv padding: reflect (pix2pixHD parity) | same (faster)
+    pad_mode: str = "same"           # conv padding: same (TPU default, no pre-pad copies) | reflect (pix2pixHD parity)
     upsample_mode: str = "deconv"    # decoder upsample: deconv (parity) | resize (faster, no checkerboard)
     debug_nans: bool = False         # jax_debug_nans: fail fast on non-finite values (SURVEY.md §5 sanitizers)
     profile_dir: str = ""            # write a jax.profiler trace of steps [profile_start, profile_start+profile_steps)

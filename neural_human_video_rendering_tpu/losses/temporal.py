@@ -33,7 +33,13 @@ def temporal_flow_loss(cur: jnp.ndarray, prev: jnp.ndarray, flow: jnp.ndarray,
     cur/prev: (B,H,W,3) rendered frames t and t-1; flow maps frame t pixels
     back into frame t-1 (backward flow convention: prev sampled at p+flow).
     """
-    warped_prev = flow_warp(prev, flow)
-    mask = occlusion_mask(flow, flow_inv)
+    # prev and flow_inv are warped by the SAME flow field: one fused kernel
+    # launch over 5 channels shares the coordinate/mask computation
+    warped = flow_warp(jnp.concatenate(
+        [prev, flow_inv.astype(prev.dtype)], axis=-1), flow)
+    warped_prev, warped_inv = warped[..., :3], warped[..., 3:]
+    diff2 = jnp.sum((flow + warped_inv) ** 2, axis=-1, keepdims=True)
+    mag2 = jnp.sum(flow ** 2 + warped_inv ** 2, axis=-1, keepdims=True)
+    mask = (diff2 < 0.01 * mag2 + 0.5).astype(jnp.float32)
     err = jnp.abs(cur.astype(jnp.float32) - warped_prev.astype(jnp.float32))
     return jnp.sum(err * mask) / jnp.maximum(jnp.sum(mask) * 3.0, 1.0)

@@ -173,7 +173,8 @@ def run_pretrain_uv(opt, epochs: Optional[int] = None):
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
     transg = TransG(opt.n_parts, opt.ngf, opt.n_downsample_translate,
                     opt.n_blocks_translate, stem_s2d=opt.stem_s2d,
-                    head_s2d=opt.head_s2d, dtype=dtype)
+                    head_s2d=opt.head_s2d, pad_mode=opt.pad_mode,
+                    upsample_mode=opt.upsample_mode, dtype=dtype)
     S = opt.loadSize
     params = transg.init(jax.random.PRNGKey(opt.seed),
                          jnp.zeros((1, S, S, opt.pose_nc)))["params"]
@@ -260,7 +261,9 @@ def run_pretrain_tex(opt, epochs: Optional[int] = None):
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
     texg = TexG(opt.n_parts, opt.tex_tile, opt.ngf_global,
                 opt.n_downsample_global, opt.n_blocks_global,
-                stem_s2d=opt.stem_s2d, head_s2d=opt.head_s2d, dtype=dtype)
+                stem_s2d=opt.stem_s2d, head_s2d=opt.head_s2d,
+                pad_mode=opt.pad_mode, upsample_mode=opt.upsample_mode,
+                dtype=dtype)
     S = opt.loadSize
     params = texg.init(jax.random.PRNGKey(opt.seed),
                        jnp.zeros((1, S, S, opt.pose_nc)))["params"]
