@@ -13,23 +13,40 @@ from typing import Any, List, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
-from .layers import InstanceNorm
+from .layers import InstanceNorm, space_to_depth
 
 Dtype = Any
 
 
 class NLayerDiscriminator(nn.Module):
-    """70x70-style PatchGAN: C64-C128-C256-C512 -> 1 channel patch logits."""
+    """70x70-style PatchGAN: C64-C128-C256-C512 -> 1 channel patch logits.
+
+    stem_s2d > 1 space-to-depth-packs the input before the first conv: the
+    pose+image concat is a ~6-channel full-resolution tensor, and few-
+    channel convs are layout-bound on TPU (see layers.space_to_depth). The
+    packed stem (2x2 kernel, stride 1 on the half-res grid) has the same
+    stride-2 4x4 receptive field and parameter count as the original stem.
+    """
     ndf: int = 64
     n_layers: int = 3
+    stem_s2d: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> List[jnp.ndarray]:
         feats = []
         x = x.astype(self.dtype)
-        x = nn.Conv(self.ndf, (4, 4), strides=(2, 2), padding=((2, 2), (2, 2)),
-                    dtype=self.dtype, param_dtype=jnp.float32)(x)
+        if self.stem_s2d > 1 and x.shape[1] % self.stem_s2d == 0 \
+                and x.shape[2] % self.stem_s2d == 0:
+            f = self.stem_s2d
+            x = space_to_depth(x, f)
+            x = nn.Conv(self.ndf, (4 // f + 1, 4 // f + 1), strides=(1, 1),
+                        padding="SAME", dtype=self.dtype,
+                        param_dtype=jnp.float32)(x)
+        else:
+            x = nn.Conv(self.ndf, (4, 4), strides=(2, 2),
+                        padding=((2, 2), (2, 2)),
+                        dtype=self.dtype, param_dtype=jnp.float32)(x)
         x = nn.leaky_relu(x, 0.2)
         feats.append(x)
         nf = self.ndf
@@ -61,6 +78,7 @@ class MultiscaleDiscriminator(nn.Module):
     num_D: int = 2
     ndf: int = 64
     n_layers: int = 3
+    stem_s2d: int = 1
     dtype: Dtype = jnp.float32
 
     @nn.compact
@@ -69,6 +87,7 @@ class MultiscaleDiscriminator(nn.Module):
         cur = x
         for d in range(self.num_D):
             outs.append(NLayerDiscriminator(self.ndf, self.n_layers,
+                                            stem_s2d=self.stem_s2d,
                                             dtype=self.dtype,
                                             name=f"scale_{d}")(cur))
             if d != self.num_D - 1:

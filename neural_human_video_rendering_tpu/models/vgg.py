@@ -48,7 +48,32 @@ class VGG19Features(nn.Module):
         x = ((x - mean) / std).astype(self.dtype)
         taps = []
         conv_i = 0
+        # Block 1 runs EXACTLY in space-to-depth-packed space: full-res
+        # 3-channel convs are layout-bound on TPU (~1 TF/s measured). A 3x3
+        # conv on the original grid equals a 3x3 conv on the s2d(2) grid
+        # with rearranged (4x in / 4x out channel) weights — load_pretrained
+        # performs that exact weight transform, pack_conv_weights. The
+        # relu1_1 tap is compared in packed space (the L1 mean is
+        # permutation-invariant) and max-pool over 2x2 pixels becomes a max
+        # over the 4 channel groups, so nothing is ever unpacked.
+        from .layers import space_to_depth
+        assert x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        x = space_to_depth(x, 2)
+        for c in range(_CFG[0][1]):
+            x = nn.Conv(4 * _CFG[0][0], (3, 3), padding="SAME",
+                        dtype=self.dtype, param_dtype=jnp.float32,
+                        name=f"conv{conv_i}")(x)
+            x = nn.relu(x)
+            if c == 0:
+                taps.append(x.astype(jnp.float32))
+            conv_i += 1
+        # packed 2x2-pixel max pool: max over the 4 channel groups
+        w1 = _CFG[0][0]
+        x = jnp.maximum(x[..., : 2 * w1], x[..., 2 * w1:])
+        x = jnp.maximum(x[..., :w1], x[..., w1:])
         for block, (width, n_convs) in enumerate(_CFG):
+            if block == 0:
+                continue
             last_block = block == len(_CFG) - 1
             for c in range(n_convs):
                 x = nn.Conv(width, (3, 3), padding="SAME", dtype=self.dtype,
@@ -93,11 +118,46 @@ def load_pretrained(path: str):
     for conv_i, tv_i in enumerate(_TV_CONV_IDX[:13]):
         w = arrays[f"features.{tv_i}.weight"]   # OIHW
         b = arrays[f"features.{tv_i}.bias"]
+        kernel = np.transpose(w, (2, 3, 1, 0))  # HWIO
+        if conv_i < _CFG[0][1]:
+            kernel, b = pack_conv_weights(kernel, b, 2)  # block-1 runs packed
         params[f"conv{conv_i}"] = {
-            "kernel": jnp.asarray(np.transpose(w, (2, 3, 1, 0))),  # HWIO
+            "kernel": jnp.asarray(kernel),
             "bias": jnp.asarray(b),
         }
     return params
+
+
+def pack_conv_weights(w: np.ndarray, b: np.ndarray, f: int = 2):
+    """Exact weight transform: 3x3 SAME conv on the original grid -> 3x3
+    SAME conv on the space_to_depth(f) grid.
+
+    Packed channel order matches layers.space_to_depth:
+    k = row_offset * (f*C) + col_offset * C + c. Output pixel (fH+m, fW+n)
+    needs original tap (fH+m+dy-1, fW+n+dx-1) = packed pixel
+    (H + (m+dy-1)//f, W + (n+dx-1)//f) channel group ((m+dy-1)%f,
+    (n+dx-1)%f); offsets stay within one packed step, so the packed kernel
+    is again 3x3 (3/4 structurally zero — MXU cost 4x FLOPs but ~100x
+    better utilization than a 3-channel full-res conv). Border behavior is
+    exact: packed SAME padding zero-fills precisely the original padded
+    rows, and taps beyond them carry zero weights.
+    """
+    K = w.shape[0]
+    assert K == 3 and w.shape[1] == 3, "transform written for 3x3 convs"
+    Cin, Cout = w.shape[2], w.shape[3]
+    wp = np.zeros((3, 3, f * f * Cin, f * f * Cout), w.dtype)
+    for m in range(f):
+        for n in range(f):
+            out_sl = slice(m * f * Cout + n * Cout,
+                           m * f * Cout + (n + 1) * Cout)
+            for dy in range(K):
+                a, i = divmod(m + dy - 1, f)
+                for dx in range(K):
+                    bb, j = divmod(n + dx - 1, f)
+                    in_sl = slice(i * f * Cin + j * Cin,
+                                  i * f * Cin + (j + 1) * Cin)
+                    wp[a + 1, bb + 1, in_sl, out_sl] += w[dy, dx]
+    return wp, np.tile(b, f * f)
 
 
 def get_vgg_params(weights_path: str = ""):

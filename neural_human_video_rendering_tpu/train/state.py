@@ -55,7 +55,8 @@ def make_optimizer(opt, steps_per_epoch: int = 0) -> optax.GradientTransformatio
 def build_discriminator(opt) -> MultiscaleDiscriminator:
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
     return MultiscaleDiscriminator(num_D=opt.num_D, ndf=opt.ndf,
-                                   n_layers=opt.n_layers_D, dtype=dtype)
+                                   n_layers=opt.n_layers_D,
+                                   stem_s2d=opt.stem_s2d, dtype=dtype)
 
 
 def create_train_state(opt, rng: jax.Array, static_tex, bg,

@@ -84,8 +84,48 @@ def test_vgg_taps():
     m = VGG19Features()
     feats = m.apply({"params": params}, jnp.zeros((1, 32, 32, 3)))
     assert len(feats) == 5
-    assert feats[0].shape == (1, 32, 32, 64)
+    # relu1_1 tap lives in space-to-depth-packed space (same elements)
+    assert feats[0].shape == (1, 16, 16, 256)
     assert feats[4].shape == (1, 2, 2, 512)
+
+
+def test_vgg_packed_block_exact():
+    """pack_conv_weights: packed 3x3 conv + channel-group max-pool must be
+    bit-exact (up to fp assoc) with the original conv+conv+pool block."""
+    from neural_human_video_rendering_tpu.models.layers import space_to_depth
+    from neural_human_video_rendering_tpu.models.vgg import pack_conv_weights
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.rand(2, 16, 16, 3).astype(np.float32))
+    w0 = rng.randn(3, 3, 3, 8).astype(np.float32) * 0.3
+    b0 = rng.randn(8).astype(np.float32) * 0.1
+    w1 = rng.randn(3, 3, 8, 8).astype(np.float32) * 0.3
+    b1 = rng.randn(8).astype(np.float32) * 0.1
+
+    def conv(x, w, b):
+        return jax.lax.conv_general_dilated(
+            x, w, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC")) + b
+
+    ref = jax.nn.relu(conv(jax.nn.relu(conv(x, w0, b0)), w1, b1))
+    ref_tap = jax.nn.relu(conv(x, w0, b0))
+    ref_pool = jax.lax.reduce_window(ref, -jnp.inf, jax.lax.max,
+                                     (1, 2, 2, 1), (1, 2, 2, 1), "VALID")
+
+    w0p, b0p = pack_conv_weights(w0, b0)
+    w1p, b1p = pack_conv_weights(w1, b1)
+    xp = space_to_depth(x, 2)
+    h = jax.nn.relu(conv(xp, jnp.asarray(w0p), jnp.asarray(b0p)))
+    tap_p = h
+    h = jax.nn.relu(conv(h, jnp.asarray(w1p), jnp.asarray(b1p)))
+    C = 8
+    pool_p = jnp.maximum(h[..., : 2 * C], h[..., 2 * C:])
+    pool_p = jnp.maximum(pool_p[..., :C], pool_p[..., C:])
+
+    np.testing.assert_allclose(np.asarray(space_to_depth(ref_tap, 2)),
+                               np.asarray(tap_p), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(pool_p), np.asarray(ref_pool),
+                               atol=1e-5)
 
 
 def test_space_to_depth_roundtrip():
