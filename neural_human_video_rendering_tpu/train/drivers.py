@@ -86,13 +86,19 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
     state = bundle["state"]
 
     run_dir = opt.run_dir
+    start_epoch = 1
     if opt.continue_train:
         ep = ckpt.latest_epoch(run_dir, "G")
         if ep is not None:
             state = state.replace(
                 g_params=ckpt.load_net(run_dir, "G", "latest", state.g_params),
                 d_params=ckpt.load_net(run_dir, "D", "latest", state.d_params))
-            print(f"[ckpt] resumed from epoch {ep}", flush=True)
+            state, saved_ep = ckpt.load_train_state(run_dir, state)
+            start_epoch = (saved_ep if saved_ep and saved_ep > 0
+                           else int(ep)) + 1
+            print(f"[ckpt] resumed from epoch {ep} "
+                  f"(optimizer state {'restored' if saved_ep else 'fresh'})",
+                  flush=True)
     elif opt.load_pretrain_TransG:
         state = state.replace(g_params=ckpt.load_transg_into(
             state.g_params, opt.load_pretrain_TransG, opt.which_epoch_TransG))
@@ -109,6 +115,7 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
         ckpt.save_net(run_dir, "G", epoch, st.g_params)
         ckpt.save_net(run_dir, "D", epoch, st.d_params)
         ckpt.save_net(run_dir, "TransG", epoch, st.g_params["TransG"])
+        ckpt.save_train_state(run_dir, st, epoch)
         print(f"[ckpt] saved epoch {epoch} -> {run_dir}", flush=True)
 
     fwd = None
@@ -159,7 +166,7 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
     n_epochs = epochs if epochs is not None else (
         opt.niter if opt.no_decay else opt.niter + opt.niter_decay)
     state = run_training(opt, loader, step_fn, state, n_epochs, save_fn,
-                         visuals_fn, eval_fn=eval_fn)
+                         visuals_fn, eval_fn=eval_fn, start_epoch=start_epoch)
     return state
 
 

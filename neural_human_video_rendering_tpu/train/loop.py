@@ -58,6 +58,11 @@ def run_training(opt, loader: BatchLoader, step_fn: Callable,
                 if visuals_fn is not None and total_steps % opt.display_freq == 0:
                     vis.display_results(visuals_fn(carry, batch), epoch,
                                         total_steps)
+                if (opt.save_latest_freq > 0
+                        and total_steps % opt.save_latest_freq == 0):
+                    # iteration-level 'latest' save (--save_latest_freq,
+                    # pix2pixHD cadence): epoch tag 'latest' only
+                    save_fn(carry, "latest")
             print(f"End of epoch {epoch} / {epochs} "
                   f"({time.time() - t_epoch:.1f}s)", flush=True)
             if eval_fn is not None:

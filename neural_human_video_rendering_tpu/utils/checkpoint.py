@@ -66,6 +66,41 @@ def latest_epoch(run_dir: str, label: str) -> Optional[str]:
     return best
 
 
+def save_train_state(run_dir: str, state: Any, epoch) -> str:
+    """Save the non-parameter training state (both optimizer states + step
+    counter + epoch) as latest_state. Together with the latest_net_* files
+    this makes --continue_train a FULL resume (params + Adam moments +
+    schedule position), which the reference could not do (it reloads
+    weights only and restarts the optimizer)."""
+    os.makedirs(run_dir, exist_ok=True)
+    # to_state_dict flattens optax's tuple/namedtuple states into dicts
+    # (msgpack cannot serialize tuples)
+    blob = {
+        "g_opt": fser.to_state_dict(jax.tree.map(np.asarray, state.g_opt)),
+        "d_opt": fser.to_state_dict(jax.tree.map(np.asarray, state.d_opt)),
+        "step": int(state.step),
+        "epoch": int(epoch) if str(epoch).isdigit() else -1,
+    }
+    path = os.path.join(run_dir, f"latest_state{EXT}")
+    with open(path, "wb") as f:
+        f.write(fser.msgpack_serialize(jax.tree.map(np.asarray, blob)))
+    return path
+
+
+def load_train_state(run_dir: str, state: Any):
+    """Restore optimizer states + step into `state`; returns
+    (state, saved_epoch) or (state, None) when no state blob exists."""
+    path = os.path.join(run_dir, f"latest_state{EXT}")
+    if not os.path.exists(path):
+        return state, None
+    with open(path, "rb") as f:
+        raw = fser.msgpack_restore(f.read())
+    g_opt = fser.from_state_dict(state.g_opt, raw["g_opt"])
+    d_opt = fser.from_state_dict(state.d_opt, raw["d_opt"])
+    state = state.replace(g_opt=g_opt, d_opt=d_opt, step=int(raw["step"]))
+    return state, int(raw["epoch"])
+
+
 def load_transg_into(g_params: Any, pretrain_dir: str, epoch="latest") -> Any:
     """Per-subnet partial restore: stage-1 TransG -> stage-2 generator params
     (reference: --load_pretrain_TransG/--which_epoch_TransG)."""

@@ -46,3 +46,35 @@ def test_partial_transg_restore(tmp_path):
     # other subnets untouched
     np.testing.assert_allclose(np.asarray(merged["TexG"]["w"]),
                                np.asarray(stage2["TexG"]["w"]))
+
+
+def test_full_train_state_resume(tmp_path):
+    """latest_state restores optimizer moments + step (full resume — the
+    reference reloads weights only)."""
+    import optax
+    from neural_human_video_rendering_tpu.train.state import TrainState
+
+    d = str(tmp_path)
+    p = _params()
+    tx = optax.adam(1e-3)
+    st = TrainState(step=0, g_params=p, d_params=p,
+                    g_opt=tx.init(p), d_opt=tx.init(p),
+                    static_tex=jnp.zeros((1,)), bg=jnp.zeros((1,)),
+                    tex_mask=None)
+    # take one update so the moments are non-trivial
+    grads = jax.tree.map(jnp.ones_like, p)
+    ups, g_opt = tx.update(grads, st.g_opt, p)
+    st = st.replace(step=7, g_opt=g_opt,
+                    g_params=optax.apply_updates(p, ups))
+    ckpt.save_train_state(d, st, 3)
+
+    fresh = TrainState(step=0, g_params=p, d_params=p,
+                       g_opt=tx.init(p), d_opt=tx.init(p),
+                       static_tex=jnp.zeros((1,)), bg=jnp.zeros((1,)),
+                       tex_mask=None)
+    restored, epoch = ckpt.load_train_state(d, fresh)
+    assert epoch == 3
+    assert int(restored.step) == 7
+    m_saved = jax.tree.leaves(st.g_opt)[0]
+    m_rest = jax.tree.leaves(restored.g_opt)[0]
+    np.testing.assert_allclose(np.asarray(m_rest), np.asarray(m_saved))
