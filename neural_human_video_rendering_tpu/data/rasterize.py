@@ -65,9 +65,13 @@ def render_skeleton(joints: jnp.ndarray, height: int, width: int,
 
     # running min over the (static) limb list: avoids materializing the
     # (L, H, W) distance stack + argmin (~64 ms/step at 512px in the device
-    # trace); XLA fuses the unrolled chain into one pass over the grid
+    # trace); XLA fuses the unrolled chain into one pass over the grid.
+    # Colors accumulate as THREE separate (H, W) planes: an (H, W, 3)
+    # running image puts C=3 on the 128-lane minor dim (42x tile padding —
+    # the per-limb updates cost ~23 ms/batch8 in the device trace); clean
+    # (H, W) planes stack into the RGB image exactly once at the end.
     best_d2 = jnp.full((height, width), jnp.inf, jnp.float32)
-    img = jnp.zeros((height, width, 3), jnp.float32)
+    planes = [jnp.zeros((height, width), jnp.float32) for _ in range(3)]
     for i in range(len(_LIMBS_A)):
         ai, bi = a[i], b[i]
         d2 = _point_segment_dist2(px, py, ai[0], ai[1], bi[0], bi[1])
@@ -75,10 +79,10 @@ def render_skeleton(joints: jnp.ndarray, height: int, width: int,
         d2 = jnp.where(valid, d2, jnp.inf)
         upd = d2 < best_d2
         best_d2 = jnp.where(upd, d2, best_d2)
-        img = jnp.where(upd[..., None], colors[i], img)
+        planes = [jnp.where(upd, colors[i, c], planes[c]) for c in range(3)]
     hit = best_d2 <= radius * radius
-    img = jnp.where(hit[..., None], img, 0.0)
-    return img * 2.0 - 1.0
+    planes = [jnp.where(hit, p, 0.0) * 2.0 - 1.0 for p in planes]
+    return jnp.stack(planes, axis=-1)
 
 
 @functools.partial(jax.jit, static_argnames=("height", "width", "sigma"))

@@ -95,6 +95,56 @@ def _topk_dense_weights(fg: jnp.ndarray, k: int,
     return w
 
 
+def _topk_kernel(k, block_parts, fg_ref, w_ref):
+    """Single-pass fused top-k + block-cap selection.
+
+    One (P, 8, 128) block per grid step: the k-th-largest threshold per
+    pixel slot and the per-block part-mass cap are computed entirely in
+    VMEM — ONE read of fg and ONE write of w instead of the XLA
+    formulation's ~8 elementwise passes over the 200 MB probability planes
+    (~12-20 ms/step traced). Semantics identical to _topk_dense_weights.
+    """
+    fg = fg_ref[...]                              # (P, 8, 128)
+    P = fg.shape[0]
+    if 0 < k < P:
+        remaining = fg
+        for _ in range(k - 1):
+            m = jnp.max(remaining, axis=0, keepdims=True)
+            remaining = jnp.where(remaining >= m, -jnp.inf, remaining)
+        thr = jnp.max(remaining, axis=0, keepdims=True)
+        w = jnp.where(fg >= thr, fg, 0.0)
+    else:
+        w = fg
+    if 0 < block_parts < P:
+        # staged reductions: Mosaic aborts on the fused multi-axis
+        # (1, 2) reduction of a (P, 8, 128) block
+        mass = jnp.sum(jnp.sum(w, axis=1, keepdims=True), axis=2,
+                       keepdims=True)                     # (P, 1, 1)
+        remaining = mass
+        for _ in range(block_parts - 1):
+            m = jnp.max(remaining, axis=0, keepdims=True)
+            remaining = jnp.where(remaining >= m, -jnp.inf, remaining)
+        thr_b = jnp.max(remaining, axis=0, keepdims=True)
+        w = jnp.where(mass >= thr_b, w, 0.0)
+    w_ref[...] = w
+
+
+def _topk_call(fg_planes, k, block_parts):
+    """fg (B, P, NB, 8, 128) -> selected weights, same shape."""
+    B, P, NB = fg_planes.shape[:3]
+    spec = pl.BlockSpec((None, P, None, _BLK_ROWS, _BLK_LANES),
+                        lambda b, nb: (b, 0, nb, 0, 0),
+                        memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_topk_kernel, k, block_parts),
+        grid=(B, NB),
+        in_specs=[spec],
+        out_specs=spec,
+        out_shape=jax.ShapeDtypeStruct(fg_planes.shape, jnp.float32),
+        interpret=_interpret_mode(),
+    )(fg_planes)
+
+
 def _to_planes(tex, uv, probs, k, block_parts=0):
     """Returns (texT (B,P,C,T,T), u,v,w (B,P,NB,8,128), shapes)."""
     B, P, Ht, Wt, C = tex.shape
@@ -104,7 +154,12 @@ def _to_planes(tex, uv, probs, k, block_parts=0):
     fg = jnp.moveaxis(probs[..., 1:], -1, 1).reshape(B, P, N)
     u = jnp.moveaxis(uv[..., 0], -1, 1).reshape(B, P, N)
     v = jnp.moveaxis(uv[..., 1], -1, 1).reshape(B, P, N)
-    w = _topk_dense_weights(fg, k, block_parts)
+    fg_planes = fg.astype(jnp.float32).reshape(B, P, NB, _BLK_ROWS, _BLK_LANES)
+    w = _topk_call(jax.lax.stop_gradient(fg_planes), k,
+                   block_parts).reshape(B, P, N)
+    # gradient w.r.t. probs flows through the warp's custom VJP (dw masked
+    # by w > 0 in _texture_warp_bwd), so the selection op itself is
+    # gradient-free — fg enters it via stop_gradient.
     shp = (B, P, NB, _BLK_ROWS, _BLK_LANES)
     u = u.reshape(shp)
     v = v.reshape(shp)

@@ -119,3 +119,17 @@ def test_dispatcher_uses_pallas_on_supported_shapes(monkeypatch):
     out = pw.texture_warp(tex, uv, probs, use_pallas=True, k=3)
     ref = texture_warp_topk(tex, uv, probs, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+def test_topk_kernel_matches_dense_weights():
+    """The fused Pallas selection kernel == _topk_dense_weights exactly."""
+    from neural_human_video_rendering_tpu.ops.pallas_warp2 import (
+        _topk_call, _topk_dense_weights)
+    rng = np.random.RandomState(11)
+    B, P, N = 2, 7, 3072   # 3 kernel blocks
+    fg = jnp.asarray(rng.rand(B, P, N).astype(np.float32))
+    for k, cap in [(3, 0), (2, 4), (7, 2), (1, 0)]:
+        ref = np.asarray(_topk_dense_weights(fg, k, cap))
+        got = np.asarray(_topk_call(
+            fg.reshape(B, P, N // 1024, 8, 128), k, cap)).reshape(B, P, N)
+        np.testing.assert_array_equal(got, ref, err_msg=f"k={k} cap={cap}")
