@@ -116,3 +116,24 @@ def test_vgg_loss_in_train_step(tiny_opt):
                               bundle["d_tx"])
     _, metrics = step(bundle["state"], batch)
     assert np.isfinite(float(metrics["G_VGG"]))
+
+
+def test_symmetric_temporal_gradient_mode(tiny_opt):
+    """temporal_detach_prev=False (the reference-faithful symmetric
+    gradient) must still compile and train."""
+    opt = dataclasses.replace(_gan_opt(tiny_opt), temporal_detach_prev=False)
+    ds, batch = _batch(opt)
+    bundle = create_train_state(opt, jax.random.PRNGKey(0),
+                                ds.texture_atlas(), ds.background())
+    step = st.make_train_step(opt, bundle["renderer"], bundle["disc"],
+                              bundle["vgg_params"], bundle["g_tx"],
+                              bundle["d_tx"])
+    state = bundle["state"]
+    first = last = None
+    for _ in range(4):
+        state, metrics = step(state, batch)
+        v = float(metrics["G_total"])
+        assert np.isfinite(v)
+        first = v if first is None else first
+        last = v
+    assert last < first
