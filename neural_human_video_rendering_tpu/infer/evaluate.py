@@ -1,0 +1,119 @@
+"""Quality-parity evaluation: rendered frames vs ground-truth frames.
+
+The reference ships no eval script (SURVEY.md §6 — its paper reports
+perceptual metrics, but nothing on disk reproduces them); BASELINE.md's
+north star is "LPIPS/SSIM parity with reference renders at 512px". This
+module is the measurement contract for that target: given two frame
+directories (e.g. `--results_dir` output of test.py and the real video
+frames, or renders from two frameworks), it reports PSNR, SSIM and a
+VGG-feature perceptual distance (LPIPS-style; exact LPIPS needs the
+torchvision weights — drop them at $VGG19_WEIGHTS, see models/vgg.py).
+
+Frames are matched by the numeric part of their basenames (so
+`frame00007_synthesized.jpg` pairs with `frame00007.png`), falling back to
+sorted order when either side has no digits. All metric math runs batched
+under jit.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data import dataset as dsm
+from ..models import vgg as vggm
+from ..utils import metrics as M
+
+
+def _frame_key(name: str) -> str:
+    """Digits of a basename, as the pairing key ('frame00007_synth' -> '00007')."""
+    digits = re.findall(r"\d+", os.path.splitext(name)[0])
+    return digits[-1] if digits else name
+
+
+def pair_frames(dir_a: str, dir_b: str) -> List[Tuple[str, str]]:
+    """Pair image files across two dirs by frame number (sorted-order fallback)."""
+    fa, fb = dsm.list_images(dir_a), dsm.list_images(dir_b)
+    if not fa or not fb:
+        raise FileNotFoundError(f"no images in {dir_a if not fa else dir_b}")
+    ka = {_frame_key(f): f for f in fa}
+    kb = {_frame_key(f): f for f in fb}
+    common = sorted(set(ka) & set(kb))
+    if common:
+        return [(ka[k], kb[k]) for k in common]
+    n = min(len(fa), len(fb))
+    return list(zip(fa[:n], fb[:n]))
+
+
+def _metric_fns(vgg_params):
+    @jax.jit
+    def batch_metrics(a, b):
+        out = {"psnr": M.psnr(a, b), "ssim": M.ssim(a, b)}
+        if vgg_params is not None:
+            out["vgg_dist"] = M.vgg_distance(vgg_params, a, b)
+        return out
+    return batch_metrics
+
+
+def evaluate_dirs(results_dir: str, gt_dir: str, size: int = 512,
+                  batch_size: int = 8, max_frames: Optional[int] = None,
+                  use_vgg: bool = True) -> Dict[str, float]:
+    """Mean PSNR / SSIM / VGG perceptual distance over paired frames."""
+    pairs = pair_frames(results_dir, gt_dir)
+    if max_frames is not None:
+        pairs = pairs[:max_frames]
+
+    vgg_params = vggm.get_vgg_params() if use_vgg else None
+    fn = _metric_fns(vgg_params)
+
+    sums: Dict[str, float] = {}
+    n_batches = 0
+    for start in range(0, len(pairs), batch_size):
+        chunk = pairs[start:start + batch_size]
+        # pad the tail so the compiled metric sees one batch shape
+        padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
+        a = jnp.asarray(np.stack([
+            dsm.load_image(os.path.join(results_dir, p[0]), size) for p in padded]))
+        b = jnp.asarray(np.stack([
+            dsm.load_image(os.path.join(gt_dir, p[1]), size) for p in padded]))
+        vals = fn(a, b)
+        w = len(chunk) / batch_size   # down-weight the padded tail batch
+        for k, v in vals.items():
+            sums[k] = sums.get(k, 0.0) + float(v) * w
+        n_batches += w
+    out = {k: v / n_batches for k, v in sums.items()}
+    out["frames"] = float(len(pairs))
+    return out
+
+
+def main(argv=None) -> Dict[str, float]:
+    import argparse
+    p = argparse.ArgumentParser(
+        description="PSNR/SSIM/perceptual parity between two frame directories")
+    p.add_argument("--results_dir", required=True,
+                   help="rendered frames (test.py output images dir)")
+    p.add_argument("--gt_dir", required=True,
+                   help="ground-truth / reference frames")
+    p.add_argument("--loadSize", type=int, default=512)
+    p.add_argument("--batch_size", type=int, default=8)
+    p.add_argument("--max_frames", type=int, default=0, help="0 = all")
+    p.add_argument("--no_vgg", action="store_true",
+                   help="skip the VGG perceptual distance")
+    p.add_argument("--out", default="", help="also write metrics JSON here")
+    a = p.parse_args(argv)
+
+    res = evaluate_dirs(a.results_dir, a.gt_dir, a.loadSize, a.batch_size,
+                        a.max_frames or None, use_vgg=not a.no_vgg)
+    line = json.dumps({k: round(v, 5) for k, v in res.items()})
+    print(line)
+    if a.out:
+        os.makedirs(os.path.dirname(a.out) or ".", exist_ok=True)
+        with open(a.out, "w") as f:
+            f.write(line + "\n")
+    return res
