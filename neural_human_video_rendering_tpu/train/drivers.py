@@ -277,7 +277,14 @@ def run_pretrain_tex(opt, epochs: Optional[int] = None):
     tx = make_optimizer(opt, len(loader))
     opt_state = tx.init(params)
     run_dir = opt.run_dir
-    step = make_pretrain_tex_step(opt, texg, tx, tex)
+
+    if opt.continue_train:
+        ep = ckpt.latest_epoch(run_dir, "TexG")
+        if ep is not None:
+            params = ckpt.load_net(run_dir, "TexG", "latest", params)
+            print(f"[ckpt] resumed from epoch {ep}", flush=True)
+
+    step = make_pretrain_tex_step(opt, texg, tx, tex, _tex_mask(opt, tex))
 
     def step_fn(carry, batch):
         params, opt_state = carry
