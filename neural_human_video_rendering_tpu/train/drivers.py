@@ -69,6 +69,25 @@ def _device_batch(batch: Dict[str, np.ndarray]) -> Dict[str, jnp.ndarray]:
     return {k: jnp.asarray(v) for k, v in batch.items()}
 
 
+def _maybe_mesh(opt):
+    """Data-parallel mesh when >1 device is visible (SURVEY.md §2
+    "Parallelism": batch sharded over a 1-D `data` axis, state replicated,
+    gradient psum inserted by XLA). --mesh_shape caps the device count;
+    batchSize must divide evenly or we stay single-device."""
+    n = jax.local_device_count()
+    if opt.mesh_shape:
+        n = min(int(opt.mesh_shape.split(",")[0]), n)
+    if n <= 1:
+        return None
+    if opt.batchSize % n != 0:
+        print(f"[mesh] batchSize {opt.batchSize} not divisible by {n} "
+              "devices -> single-device", flush=True)
+        return None
+    print(f"[mesh] data-parallel over {n} devices "
+          f"({opt.batchSize // n} samples/device)", flush=True)
+    return make_mesh(n)
+
+
 # ----------------------------------------------------------------------
 # stage 2: end-to-end person-specific training (train.py)
 # ----------------------------------------------------------------------
@@ -104,6 +123,10 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
             state.g_params, opt.load_pretrain_TransG, opt.which_epoch_TransG))
         print(f"[ckpt] loaded pretrained TransG from "
               f"{opt.load_pretrain_TransG} @ {opt.which_epoch_TransG}", flush=True)
+
+    mesh = _maybe_mesh(opt)
+    if mesh is not None:
+        state = replicate(mesh, state)
 
     step = make_train_step(opt, bundle["renderer"], bundle["disc"],
                            bundle["vgg_params"], bundle["g_tx"], bundle["d_tx"])
@@ -166,7 +189,8 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
     n_epochs = epochs if epochs is not None else (
         opt.niter if opt.no_decay else opt.niter + opt.niter_decay)
     state = run_training(opt, loader, step_fn, state, n_epochs, save_fn,
-                         visuals_fn, eval_fn=eval_fn, start_epoch=start_epoch)
+                         visuals_fn, eval_fn=eval_fn, start_epoch=start_epoch,
+                         mesh=mesh)
     return state
 
 
@@ -195,6 +219,11 @@ def run_pretrain_uv(opt, epochs: Optional[int] = None):
             params = ckpt.load_net(run_dir, "TransG", "latest", params)
             print(f"[ckpt] resumed from epoch {ep}", flush=True)
 
+    mesh = _maybe_mesh(opt)
+    carry0 = (params, opt_state)
+    if mesh is not None:
+        carry0 = replicate(mesh, carry0)
+
     step = make_pretrain_uv_step(opt, transg, tx)
 
     def step_fn(carry, batch):
@@ -208,8 +237,8 @@ def run_pretrain_uv(opt, epochs: Optional[int] = None):
         print(f"[ckpt] saved epoch {epoch} -> {run_dir}", flush=True)
 
     n_epochs = epochs if epochs is not None else opt.niter
-    return run_training(opt, loader, step_fn, (params, opt_state), n_epochs,
-                        save_fn)
+    return run_training(opt, loader, step_fn, carry0, n_epochs,
+                        save_fn, mesh=mesh)
 
 
 # ----------------------------------------------------------------------
@@ -284,6 +313,11 @@ def run_pretrain_tex(opt, epochs: Optional[int] = None):
             params = ckpt.load_net(run_dir, "TexG", "latest", params)
             print(f"[ckpt] resumed from epoch {ep}", flush=True)
 
+    mesh = _maybe_mesh(opt)
+    carry0 = (params, opt_state)
+    if mesh is not None:
+        carry0 = replicate(mesh, carry0)
+
     step = make_pretrain_tex_step(opt, texg, tx, tex, _tex_mask(opt, tex))
 
     def step_fn(carry, batch):
@@ -297,5 +331,5 @@ def run_pretrain_tex(opt, epochs: Optional[int] = None):
         print(f"[ckpt] saved epoch {epoch} -> {run_dir}", flush=True)
 
     n_epochs = epochs if epochs is not None else opt.niter
-    return run_training(opt, loader, step_fn, (params, opt_state), n_epochs,
-                        save_fn)
+    return run_training(opt, loader, step_fn, carry0, n_epochs,
+                        save_fn, mesh=mesh)

@@ -63,3 +63,35 @@ def test_data_parallel_train_step(tiny_opt):
     for k in metrics:
         assert abs(float(metrics[k]) - float(metrics2[k])) < 1e-3 * (
             1 + abs(float(metrics2[k]))), k
+
+
+def test_run_train_engages_mesh(tiny_opt, tmp_path, capsys):
+    """The CLI driver auto-engages the data mesh when batchSize divides the
+    visible devices (run_train -> _maybe_mesh -> sharded batches)."""
+    from neural_human_video_rendering_tpu.train.drivers import run_train
+    opt = dataclasses.replace(
+        tiny_opt, checkpoints_dir=str(tmp_path), name="dp8", batchSize=8,
+        lambda_L2=500, no_vgg_loss=True, use_densepose_loss=True,
+        lambda_UV=1000, lambda_Prob=10, lambda_Temp=0,
+        niter=1, no_decay=True, save_epoch_freq=1, print_freq=1,
+        display_freq=10 ** 9, no_html=True)
+    state = run_train(opt)
+    out = capsys.readouterr().out
+    assert "[mesh] data-parallel over 8 devices" in out
+    assert "G_total" in out
+    # returned state is replicated over the mesh, finite, and checkpointed
+    leaf = jax.tree_util.tree_leaves(state.g_params)[0]
+    assert len(leaf.sharding.device_set) == 8
+    assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_run_train_single_device_when_indivisible(tiny_opt, tmp_path, capsys):
+    from neural_human_video_rendering_tpu.train.drivers import run_train
+    opt = dataclasses.replace(
+        tiny_opt, checkpoints_dir=str(tmp_path), name="dp3", batchSize=3,
+        lambda_L2=500, no_vgg_loss=True, lambda_Temp=0,
+        niter=1, no_decay=True, save_epoch_freq=1, print_freq=1,
+        display_freq=10 ** 9, no_html=True)
+    run_train(opt)
+    out = capsys.readouterr().out
+    assert "not divisible" in out
