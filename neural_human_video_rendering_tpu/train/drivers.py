@@ -101,7 +101,8 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
     tex, bg = _assets(opt, ds)
     tex_mask = _tex_mask(opt, tex)
     bundle = create_train_state(opt, jax.random.PRNGKey(opt.seed), tex, bg,
-                                tex_mask=tex_mask)
+                                tex_mask=tex_mask,
+                                steps_per_epoch=len(loader))
     state = bundle["state"]
 
     run_dir = opt.run_dir

@@ -61,7 +61,7 @@ def build_discriminator(opt) -> MultiscaleDiscriminator:
 
 def create_train_state(opt, rng: jax.Array, static_tex, bg,
                        tex_mask=None, with_discriminator: bool = True,
-                       ) -> Dict[str, Any]:
+                       steps_per_epoch: int = 0) -> Dict[str, Any]:
     """Initialize all params + optimizers; returns dict with 'state',
     'renderer', 'disc', 'vgg_params', 'g_tx', 'd_tx'."""
     renderer = renderer_from_options(opt)
@@ -83,8 +83,8 @@ def create_train_state(opt, rng: jax.Array, static_tex, bg,
         d_in = jnp.zeros((B, S, S, opt.pose_nc + 3), jnp.float32)
         d_params = jax.jit(disc.init)(d_rng, d_in)["params"]
 
-    g_tx = make_optimizer(opt)
-    d_tx = make_optimizer(opt)
+    g_tx = make_optimizer(opt, steps_per_epoch)
+    d_tx = make_optimizer(opt, steps_per_epoch)
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         g_params=g_params,
