@@ -81,6 +81,29 @@ def run_inference(opt, batch_size: int = 4,
     os.makedirs(opt.results_dir, exist_ok=True)
     gallery = HTMLGallery(opt.results_dir, f"{opt.name} @ {opt.which_epoch}")
     written = 0
+
+    # three-way overlap: device forward of batch k+1 runs while batch k
+    # transfers to host and a thread pool encodes batch k-1's PNGs (JAX
+    # dispatch is async; np.asarray is the only sync point per batch)
+    from collections import deque
+    from concurrent.futures import ThreadPoolExecutor
+    pool = ThreadPoolExecutor(max_workers=4)
+    pending: deque = deque()       # (sel, device outs)
+    writes = []
+
+    def drain_one():
+        nonlocal written
+        sel_d, outs_d = pending.popleft()
+        fakes = np.asarray(outs_d["fake"])
+        for j, i in enumerate(sel_d):
+            fname = (f"{os.path.splitext(names[i])[0].replace('_keypoints','')}"
+                     "_synthesized.jpg")
+            writes.append(pool.submit(
+                save_image, os.path.join(opt.results_dir, "images", fname),
+                fakes[j]))
+            gallery.add_images(names[i], [("synthesized", fname)])
+            written += 1
+
     for start in range(0, n, batch_size):
         sel = list(range(start, min(start + batch_size, n)))
         # pad the tail so the compiled forward sees one batch shape
@@ -92,13 +115,15 @@ def run_inference(opt, batch_size: int = 4,
                 lp.load_laplace(os.path.join(opt.lapalce_path,
                                              lap_files[min(i, len(lap_files) - 1)]),
                                 S, opt.laplace_nc) for i in padded]))
-        outs = fwd(g_params, (state.static_tex, state.bg, state.tex_mask), jb, lap)
-        fakes = np.asarray(outs["fake"])
-        for j, i in enumerate(sel):
-            fname = f"{os.path.splitext(names[i])[0].replace('_keypoints','')}_synthesized.jpg"
-            save_image(os.path.join(opt.results_dir, "images", fname), fakes[j])
-            gallery.add_images(names[i], [("synthesized", fname)])
-            written += 1
+        pending.append((sel, fwd(g_params, (state.static_tex, state.bg,
+                                            state.tex_mask), jb, lap)))
+        if len(pending) > 1:
+            drain_one()
+    while pending:
+        drain_one()
+    for w in writes:
+        w.result()                  # surface any encode errors
+    pool.shutdown()
     gallery.save()
     print(f"[infer] wrote {written} frames -> {opt.results_dir}", flush=True)
     return written
