@@ -77,6 +77,23 @@ def run_inference(opt, batch_size: int = 4,
     lap_files = (lp.list_frames(opt.lapalce_path)
                  if opt.lapalce_path and os.path.isdir(opt.lapalce_path) else [])
 
+    # multi-device serving: shard the frame batch over a data mesh when more
+    # than one device is visible (params/assets replicated, forward SPMD) —
+    # per-pod FPS scales with chip count, same compiled program
+    mesh = None
+    n_dev = jax.local_device_count()
+    if n_dev > 1:
+        from ..parallel.mesh import batch_sharding, make_mesh, replicate
+        if batch_size % n_dev:
+            batch_size = n_dev * max(1, -(-batch_size // n_dev))
+        mesh = make_mesh(n_dev)
+        g_params = replicate(mesh, g_params)
+        print(f"[mesh] inference sharded over {n_dev} devices "
+              f"(batch {batch_size})", flush=True)
+
+    def put_batch(x):
+        return jax.device_put(x, batch_sharding(mesh)) if mesh is not None else x
+
     fwd = make_forward_fn(opt, bundle["renderer"])
     os.makedirs(opt.results_dir, exist_ok=True)
     gallery = HTMLGallery(opt.results_dir, f"{opt.name} @ {opt.which_epoch}")
@@ -108,13 +125,13 @@ def run_inference(opt, batch_size: int = 4,
         sel = list(range(start, min(start + batch_size, n)))
         # pad the tail so the compiled forward sees one batch shape
         padded = sel + [sel[-1]] * (batch_size - len(sel))
-        jb = jnp.asarray(joints[padded])
+        jb = put_batch(jnp.asarray(joints[padded]))
         lap = None
         if opt.use_laplace and lap_files:
-            lap = jnp.asarray(np.stack([
+            lap = put_batch(jnp.asarray(np.stack([
                 lp.load_laplace(os.path.join(opt.lapalce_path,
                                              lap_files[min(i, len(lap_files) - 1)]),
-                                S, opt.laplace_nc) for i in padded]))
+                                S, opt.laplace_nc) for i in padded])))
         pending.append((sel, fwd(g_params, (state.static_tex, state.bg,
                                             state.tex_mask), jb, lap)))
         if len(pending) > 1:
