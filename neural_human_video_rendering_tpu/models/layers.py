@@ -95,7 +95,10 @@ class ConvNormRelu(nn.Module):
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         pad = self.kernel // 2 if self.pad is None else self.pad
-        if pad and self.pad_mode == "reflect":
+        # pix2pixHD reflects only its stride-1 convs (7x7 stem/head,
+        # ResnetBlock 3x3s); the stride-2 downsample convs are zero-padded
+        # Conv2d(k3,s2,p1) — match that exactly in parity mode
+        if pad and self.pad_mode == "reflect" and self.stride == 1:
             x = reflect_pad(x, pad)
             padding = "VALID"
         else:
@@ -144,8 +147,12 @@ class Upsample(nn.Module):
             x = nn.Conv(self.features, (3, 3), padding="SAME",
                         dtype=self.dtype, param_dtype=jnp.float32)(x)
         else:
+            # padding (1,2) is the exact torch ConvTranspose2d(k3, s2, p1,
+            # output_padding=1) alignment (flax "SAME" splits (2,1) — one
+            # pixel off); verified numerically against torch in
+            # tests/test_torch_import.py
             x = nn.ConvTranspose(self.features, (3, 3), strides=(2, 2),
-                                 padding="SAME", dtype=self.dtype,
+                                 padding=((1, 2), (1, 2)), dtype=self.dtype,
                                  param_dtype=jnp.float32)(x)
         x = InstanceNorm()(x)
         return nn.relu(x)
