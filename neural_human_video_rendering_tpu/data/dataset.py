@@ -341,17 +341,21 @@ class BatchLoader:
 
     One background thread assembles batches ahead of the train loop so image
     decode overlaps device compute (SURVEY.md §2 #11's worker processes,
-    redesigned as a thread: decode is cv2/NumPy which releases the GIL).
+    redesigned as threads: decode is the native C++ loader / cv2 / NumPy,
+    all of which release the GIL). `threads` > 1 (--nThreads) additionally
+    decodes the samples within a batch in parallel.
     """
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
-                 seed: int = 0, drop_last: bool = True, prefetch: int = 2):
+                 seed: int = 0, drop_last: bool = True, prefetch: int = 2,
+                 threads: int = 1):
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
         self.seed = seed
         self.drop_last = drop_last
         self.prefetch = prefetch
+        self.threads = max(1, threads)
         self.epoch = 0
 
     def __len__(self) -> int:
@@ -368,6 +372,15 @@ class BatchLoader:
         order = self._order()
         n_batches = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        pool = None
+        if self.threads > 1:
+            from concurrent.futures import ThreadPoolExecutor
+            pool = ThreadPoolExecutor(self.threads)
+
+        def fetch(sel):
+            if pool is not None:
+                return list(pool.map(lambda i: self.ds[int(i)], sel))
+            return [self.ds[int(i)] for i in sel]
 
         def worker():
             try:
@@ -375,9 +388,11 @@ class BatchLoader:
                     sel = order[b * self.bs:(b + 1) * self.bs]
                     if len(sel) < self.bs and self.drop_last:
                         break
-                    q.put(collate([self.ds[int(i)] for i in sel]))
+                    q.put(collate(fetch(sel)))
             finally:
                 q.put(None)
+                if pool is not None:
+                    pool.shutdown(wait=False)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()

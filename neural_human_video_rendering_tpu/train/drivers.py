@@ -97,7 +97,7 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
         jax.config.update("jax_debug_nans", True)
     ds = _dataset(opt, "train")
     loader = dsm.BatchLoader(ds, opt.batchSize, shuffle=not opt.serial_batches,
-                             seed=opt.seed)
+                             seed=opt.seed, threads=opt.nThreads)
     tex, bg = _assets(opt, ds)
     tex_mask = _tex_mask(opt, tex)
     bundle = create_train_state(opt, jax.random.PRNGKey(opt.seed), tex, bg,
@@ -201,7 +201,8 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
 
 def run_pretrain_uv(opt, epochs: Optional[int] = None):
     ds = _dataset(opt, "train")
-    loader = dsm.BatchLoader(ds, opt.batchSize, seed=opt.seed)
+    loader = dsm.BatchLoader(ds, opt.batchSize, seed=opt.seed,
+                             threads=opt.nThreads)
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
     transg = TransG(opt.n_parts, opt.ngf, opt.n_downsample_translate,
                     opt.n_blocks_translate, stem_s2d=opt.stem_s2d,
@@ -293,7 +294,8 @@ class _TexDataset:
 def run_pretrain_tex(opt, epochs: Optional[int] = None):
     base = _dataset(opt, "train")
     ds = _TexDataset(opt, base)
-    loader = dsm.BatchLoader(ds, opt.batchSize, seed=opt.seed)
+    loader = dsm.BatchLoader(ds, opt.batchSize, seed=opt.seed,
+                             threads=opt.nThreads)
     tex, _ = _assets(opt, base)
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
     texg = TexG(opt.n_parts, opt.tex_tile, opt.ngf_global,
