@@ -21,15 +21,31 @@ def _mse_to(outs: List[List[jnp.ndarray]], target: float) -> jnp.ndarray:
     return loss / len(outs)
 
 
-def lsgan_loss_g(fake_outs: List[List[jnp.ndarray]]) -> jnp.ndarray:
-    """Generator LSGAN loss: D(fake) -> 1."""
-    return _mse_to(fake_outs, 1.0)
+def _bce_to(outs: List[List[jnp.ndarray]], target: float) -> jnp.ndarray:
+    """Sigmoid BCE-with-logits vs a constant target (vanilla GAN)."""
+    loss = 0.0
+    for feats in outs:
+        z = feats[-1].astype(jnp.float32)
+        # log(1+e^-|z|) + max(z,0) - t*z  (numerically stable BCE)
+        loss = loss + jnp.mean(jnp.logaddexp(0.0, -jnp.abs(z))
+                               + jnp.maximum(z, 0.0) - target * z)
+    return loss / len(outs)
+
+
+def lsgan_loss_g(fake_outs: List[List[jnp.ndarray]],
+                 use_lsgan: bool = True) -> jnp.ndarray:
+    """Generator GAN loss: D(fake) -> 1. LSGAN (reference default) or
+    vanilla BCE when --no_lsgan (pix2pixHD GANLoss use_lsgan switch)."""
+    f = _mse_to if use_lsgan else _bce_to
+    return f(fake_outs, 1.0)
 
 
 def lsgan_loss_d(real_outs: List[List[jnp.ndarray]],
-                 fake_outs: List[List[jnp.ndarray]]) -> jnp.ndarray:
-    """Discriminator LSGAN loss: D(real) -> 1, D(fake) -> 0 (x0.5 each)."""
-    return 0.5 * (_mse_to(real_outs, 1.0) + _mse_to(fake_outs, 0.0))
+                 fake_outs: List[List[jnp.ndarray]],
+                 use_lsgan: bool = True) -> jnp.ndarray:
+    """Discriminator GAN loss: D(real) -> 1, D(fake) -> 0 (x0.5 each)."""
+    f = _mse_to if use_lsgan else _bce_to
+    return 0.5 * (f(real_outs, 1.0) + f(fake_outs, 0.0))
 
 
 def feature_matching_loss(real_outs: List[List[jnp.ndarray]],

@@ -68,6 +68,7 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
     use_temporal = opt.lambda_Temp > 0
     use_vgg = (not opt.no_vgg_loss) and vgg_params is not None
     use_fm = not opt.no_ganFeat_loss
+    use_lsgan = not opt.no_lsgan
     detach_prev = use_temporal and opt.temporal_detach_prev
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
@@ -107,7 +108,7 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
 
             d_fake = disc.apply({"params": state.d_params},
                                 jnp.concatenate([pose, fake], -1))
-            losses = {"G_GAN": L.lsgan_loss_g(d_fake)}
+            losses = {"G_GAN": L.lsgan_loss_g(d_fake, use_lsgan)}
             if use_fm:
                 d_real = disc.apply({"params": state.d_params},
                                     jnp.concatenate([pose, real], -1))
@@ -143,7 +144,7 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
                                 jnp.concatenate([pose, real], -1))
             d_fake = disc.apply({"params": d_params},
                                 jnp.concatenate([pose, fake_det], -1))
-            return L.lsgan_loss_d(d_real, d_fake)
+            return L.lsgan_loss_d(d_real, d_fake, use_lsgan)
 
         d_total, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
 

@@ -84,3 +84,47 @@ def test_occlusion_mask_flags_inconsistent_flow():
     # inconsistent backward flow -> occluded everywhere
     m2 = L.occlusion_mask(flow, flow * 5.0)
     assert float(m2.mean()) < float(m.mean()) - 0.3
+
+
+def test_vanilla_gan_loss_no_lsgan():
+    """--no_lsgan switches to sigmoid BCE (pix2pixHD GANLoss use_lsgan)."""
+    import numpy as np
+    from neural_human_video_rendering_tpu.losses.gan import (lsgan_loss_d,
+                                                             lsgan_loss_g)
+    z = jnp.asarray(np.linspace(-3, 3, 12).reshape(1, 3, 4).astype(np.float32))
+    fake = [[z]]
+    real = [[-z]]
+    g_bce = float(lsgan_loss_g(fake, use_lsgan=False))
+    # reference BCE-with-logits, target 1
+    import scipy.special as sp
+    zf = np.asarray(z, np.float64)
+    expect = np.mean(np.logaddexp(0, -np.abs(zf)) + np.maximum(zf, 0) - zf)
+    assert abs(g_bce - expect) < 1e-6
+    d_bce = float(lsgan_loss_d(real, fake, use_lsgan=False))
+    expect_d = 0.5 * (np.mean(np.logaddexp(0, -np.abs(-zf)) + np.maximum(-zf, 0) - (-zf))
+                      + np.mean(np.logaddexp(0, -np.abs(zf)) + np.maximum(zf, 0)))
+    assert abs(d_bce - expect_d) < 1e-6
+    # perfect D on easy targets: BCE losses positive and finite
+    assert np.isfinite(g_bce) and g_bce > 0
+
+
+def test_train_step_no_lsgan(tiny_opt):
+    import dataclasses
+    import jax
+    import numpy as np
+    from neural_human_video_rendering_tpu.data import dataset as dsm
+    from neural_human_video_rendering_tpu.train import steps as st
+    from neural_human_video_rendering_tpu.train.state import create_train_state
+    opt = dataclasses.replace(tiny_opt, no_lsgan=True, lambda_L2=500,
+                              no_vgg_loss=True)
+    ds = dsm.SyntheticDataset(opt, length=opt.batchSize)
+    batch = {k: jnp.asarray(v) for k, v in
+             dsm.collate([ds[i] for i in range(opt.batchSize)]).items()}
+    bundle = create_train_state(opt, jax.random.PRNGKey(0),
+                                ds.texture_atlas(), ds.background())
+    step = st.make_train_step(opt, bundle["renderer"], bundle["disc"],
+                              bundle["vgg_params"], bundle["g_tx"],
+                              bundle["d_tx"])
+    _, metrics = step(bundle["state"], batch)
+    assert np.isfinite(float(metrics["G_GAN"]))
+    assert np.isfinite(float(metrics["D_total"]))
