@@ -137,6 +137,7 @@ class Options:
     warp_topk: int = 4               # top-k part sampling in the texture warp (0/24 = all parts)
     warp_block_parts: int = 8        # cap active parts per warp-kernel block (0 = no cap)
     temporal_detach_prev: bool = True  # stop-grad the t-1 frame in the temporal loss (fwd-only prev render)
+    temporal_prev: str = "fake"      # temporal-loss target: fake (render t-1, parity) | real (flow-warp the real t-1 frame; no prev render)
     stem_s2d: int = 2                # space-to-depth the generator stems (1 = pix2pixHD topology)
     head_s2d: int = 2                # pixel-shuffle the generator heads (1 = pix2pixHD topology)
     bg_s2d: int = 4                  # space-to-depth/pixel-shuffle factor for BGNet (1 = off)

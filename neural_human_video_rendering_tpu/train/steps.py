@@ -69,7 +69,8 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
     use_vgg = (not opt.no_vgg_loss) and vgg_params is not None
     use_fm = not opt.no_ganFeat_loss
     use_lsgan = not opt.no_lsgan
-    detach_prev = use_temporal and opt.temporal_detach_prev
+    real_prev = use_temporal and opt.temporal_prev == "real"
+    detach_prev = use_temporal and opt.temporal_detach_prev and not real_prev
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         B = batch["joints"].shape[0]
@@ -77,7 +78,7 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
         real = batch["image"]
         tex, bg = _shared_assets(state)
 
-        if use_temporal:
+        if use_temporal and not real_prev:
             pose_prev = build_pose_input(opt, batch["joints_prev"],
                                          batch.get("laplace"))
         if detach_prev:
@@ -93,7 +94,7 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
                 state.tex_mask)["fake"])
 
         def g_loss_fn(g_params):
-            if use_temporal and not detach_prev:
+            if use_temporal and not detach_prev and not real_prev:
                 # render t and t-1 in one forward (2B batch: MXU-friendly)
                 pose2 = jnp.concatenate([pose, pose_prev], axis=0)
                 outs = renderer.apply({"params": g_params}, pose2, bg, tex,
@@ -103,7 +104,14 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
             else:
                 cur = renderer.apply({"params": g_params}, pose, bg, tex,
                                      state.tex_mask)
-                prev_fake = prev_det if detach_prev else None
+                if real_prev:
+                    # --temporal_prev real: flow-warp consistency against
+                    # the REAL t-1 frame — no second render at all. Cheaper
+                    # than the parity fake-prev mode; the target is clean
+                    # video, so the pull is toward ground-truth motion.
+                    prev_fake = batch["image_prev"]
+                else:
+                    prev_fake = prev_det if detach_prev else None
             fake = cur["fake"]
 
             d_fake = disc.apply({"params": state.d_params},

@@ -137,3 +137,24 @@ def test_symmetric_temporal_gradient_mode(tiny_opt):
         first = v if first is None else first
         last = v
     assert last < first
+
+
+def test_temporal_prev_real_mode(tiny_opt):
+    """--temporal_prev real: temporal target is the flow-warped real t-1
+    frame; no prev render. Step compiles, trains, and G_Temp is finite."""
+    opt = dataclasses.replace(_gan_opt(tiny_opt), temporal_prev="real")
+    ds, batch = _batch(opt)
+    bundle = create_train_state(opt, jax.random.PRNGKey(0),
+                                ds.texture_atlas(), ds.background())
+    step = st.make_train_step(opt, bundle["renderer"], bundle["disc"],
+                              bundle["vgg_params"], bundle["g_tx"],
+                              bundle["d_tx"])
+    state = bundle["state"]
+    first = last = None
+    for _ in range(3):
+        state, metrics = step(state, batch)
+        assert np.isfinite(float(metrics["G_Temp"]))
+        v = float(metrics["G_total"])
+        first = v if first is None else first
+        last = v
+    assert last < first
