@@ -156,6 +156,15 @@ class Options:
         return os.path.join(self.checkpoints_dir, self.name)
 
     @property
+    def train_size(self) -> int:
+        """Model input resolution: fineSize when --resize_or_crop requests a
+        crop (pix2pixHD resize_and_crop/crop), else loadSize (the reference
+        launchers all use plain resize: train_start/pretrain_start.sh:24)."""
+        if "crop" in self.resize_or_crop:
+            return min(self.fineSize, self.loadSize)
+        return self.loadSize
+
+    @property
     def pose_nc(self) -> int:
         """Channels of the rasterized pose-label input fed to the generators.
 

@@ -151,6 +151,13 @@ class FrameDataset:
     def __init__(self, opt, phase: str = "train"):
         self.opt = opt
         self.size = opt.loadSize
+        # pix2pixHD crop modes: load at loadSize, random-crop train_size
+        # (same offset for every modality of a sample, incl. the temporal
+        # pair and the background, so everything stays aligned)
+        self.crop = opt.train_size if opt.train_size < opt.loadSize else 0
+        self._bg_full: Optional[np.ndarray] = None
+        if self.crop and opt.bg_path and os.path.isfile(opt.bg_path):
+            self._bg_full = load_image(opt.bg_path, opt.loadSize)
         self.pose_names = sorted(
             f for f in os.listdir(opt.pose_path) if f.endswith(".json")
         ) if opt.pose_path else []
@@ -217,6 +224,26 @@ class FrameDataset:
             out["flow_inv"] = load_flow(
                 os.path.join(opt.flow_inv_path,
                              self.flow_inv_names[min(i, len(self.flow_inv_names) - 1)]), S)
+        if self.crop:
+            out = self._apply_crop(out)
+        return out
+
+    def _apply_crop(self, out: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        c, S = self.crop, self.size
+        oy, ox = np.random.randint(0, S - c + 1, 2)
+        for k, v in out.items():
+            if isinstance(v, np.ndarray) and v.ndim >= 2 and v.shape[0] == S \
+                    and v.shape[1] == S:
+                out[k] = np.ascontiguousarray(v[oy:oy + c, ox:ox + c])
+        for k in ("joints", "joints_prev"):
+            j = out[k].copy()
+            has = j[:, 2] > 0
+            j[has, 0] -= ox
+            j[has, 1] -= oy
+            out[k] = j
+        if self._bg_full is not None:
+            out["bg"] = np.ascontiguousarray(
+                self._bg_full[oy:oy + c, ox:ox + c])
         return out
 
 
@@ -232,7 +259,7 @@ class SyntheticDataset:
     def __init__(self, opt, length: int = 16, seed: int = 0,
                  joints: Optional[np.ndarray] = None):
         self.opt = opt
-        self.size = opt.loadSize
+        self.size = opt.train_size
         rng = np.random.RandomState(seed)
         if joints is None:
             base = self._canonical_pose(self.size)

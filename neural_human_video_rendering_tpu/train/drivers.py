@@ -47,11 +47,13 @@ def _assets(opt, ds):
     else:
         tex = np.zeros((opt.n_parts, opt.tex_tile, opt.tex_tile, 3), np.float32)
     if opt.bg_path and os.path.isfile(opt.bg_path):
-        bg = dsm.load_image(opt.bg_path, opt.loadSize)
+        # state asset at the model resolution (crop-mode batches carry
+        # per-sample bg crops; this full-view resize serves inference/visuals)
+        bg = dsm.load_image(opt.bg_path, opt.train_size)
     elif hasattr(ds, "background"):
         bg = ds.background()
     else:
-        bg = np.zeros((opt.loadSize, opt.loadSize, 3), np.float32)
+        bg = np.zeros((opt.train_size, opt.train_size, 3), np.float32)
     return tex, bg
 
 
@@ -208,7 +210,7 @@ def run_pretrain_uv(opt, epochs: Optional[int] = None):
                     opt.n_blocks_translate, stem_s2d=opt.stem_s2d,
                     head_s2d=opt.head_s2d, pad_mode=opt.pad_mode,
                     upsample_mode=opt.upsample_mode, dtype=dtype)
-    S = opt.loadSize
+    S = opt.train_size
     params = transg.init(jax.random.PRNGKey(opt.seed),
                          jnp.zeros((1, S, S, opt.pose_nc)))["params"]
     tx = make_optimizer(opt, len(loader))
@@ -303,7 +305,7 @@ def run_pretrain_tex(opt, epochs: Optional[int] = None):
                 stem_s2d=opt.stem_s2d, head_s2d=opt.head_s2d,
                 pad_mode=opt.pad_mode, upsample_mode=opt.upsample_mode,
                 dtype=dtype)
-    S = opt.loadSize
+    S = opt.train_size
     params = texg.init(jax.random.PRNGKey(opt.seed),
                        jnp.zeros((1, S, S, opt.pose_nc)))["params"]
     tx = make_optimizer(opt, len(loader))

@@ -65,7 +65,7 @@ def create_train_state(opt, rng: jax.Array, static_tex, bg,
     """Initialize all params + optimizers; returns dict with 'state',
     'renderer', 'disc', 'vgg_params', 'g_tx', 'd_tx'."""
     renderer = renderer_from_options(opt)
-    S = opt.loadSize
+    S = opt.train_size
     B = 1
     pose = jnp.zeros((B, S, S, opt.pose_nc), jnp.float32)
     bg_b = jnp.zeros((B, S, S, 3), jnp.float32)

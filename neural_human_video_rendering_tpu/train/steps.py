@@ -34,7 +34,7 @@ from .state import TrainState
 def build_pose_input(opt, joints: jnp.ndarray,
                      laplace: Optional[jnp.ndarray]) -> jnp.ndarray:
     """(B,18,3) joints (+ optional LaplaceProj channels) -> (B,S,S,pose_nc)."""
-    S = opt.loadSize
+    S = opt.train_size
     chans = []
     if opt.pose_plus_laplace or not opt.use_laplace:
         chans.append(render_skeleton_batch(joints, S, S))
@@ -77,6 +77,11 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
         pose = build_pose_input(opt, batch["joints"], batch.get("laplace"))
         real = batch["image"]
         tex, bg = _shared_assets(state)
+        if "bg" in batch:
+            # crop-mode: each sample sees its own background window (the
+            # dataset crops bg.jpg at the sample's offset) — bg enters with
+            # batch B and BGNet runs per sample
+            bg = batch["bg"]
 
         if use_temporal and not real_prev:
             pose_prev = build_pose_input(opt, batch["joints_prev"],
