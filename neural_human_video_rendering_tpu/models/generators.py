@@ -79,7 +79,7 @@ class GlobalGenerator(nn.Module):
             feats = self.ngf * 2 ** (self.n_downsampling - i - 1)
             if i < self.n_downsampling - h:
                 x = Upsample(feats, mode=self.upsample_mode,
-                             dtype=self.dtype)(x)
+                             pad_mode=self.pad_mode, dtype=self.dtype)(x)
             else:
                 # pixel-shuffle head: the skipped upsample becomes a
                 # stride-1 conv so the channel schedule (and the head
