@@ -33,6 +33,10 @@ def main():
     print(f"scale: {s:.4f}  translation: ({t[0]:.2f}, {t[1]:.2f})")
     n = pose_align.align_pose_dir(args.source_keypoints, args.results, s, t)
     print(f"wrote {n} aligned keypoint files -> {args.results}")
+    if args.source_frames:
+        m = pose_align.write_debug_overlays(args.source_frames, args.results,
+                                            tuple(args.target_shape[:2]))
+        print(f"wrote {m} debug overlays -> {args.results}/overlay")
 
 
 if __name__ == "__main__":

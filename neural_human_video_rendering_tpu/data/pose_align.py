@@ -103,3 +103,34 @@ def align_pose_dir(source_dir: str, results_dir: str, s: float, t: np.ndarray) -
         kp.write_keypoint_json(os.path.join(results_dir, n), moved["body"],
                                moved["face"], moved["hand_l"], moved["hand_r"])
     return len(names)
+
+
+def write_debug_overlays(frames_dir: str, results_dir: str,
+                         canvas_hw: Tuple[int, int] = (1024, 1024),
+                         max_frames: int = 50) -> int:
+    """Draw the ALIGNED skeletons over the source frames (reference:
+    run_alignPose.sh --source_frames) into {results_dir}/overlay — a visual
+    sanity check that the fitted scale/translation lands the source person
+    inside the target canvas."""
+    import cv2
+    out_dir = os.path.join(results_dir, "overlay")
+    os.makedirs(out_dir, exist_ok=True)
+    jsons = sorted(f for f in os.listdir(results_dir) if f.endswith(".json"))
+    frames = sorted(f for f in os.listdir(frames_dir)
+                    if f.lower().endswith((".png", ".jpg", ".jpeg")))
+    n = min(len(jsons), len(frames), max_frames)
+    H, W = canvas_hw
+    for i in range(n):
+        img = cv2.imread(os.path.join(frames_dir, frames[i]))
+        if img is None:
+            continue
+        img = cv2.resize(img, (W, H))
+        body = kp.parse_keypoint_json(os.path.join(results_dir, jsons[i]))["body"]
+        joints = kp.body25_to_coco18(body)
+        for li, (a, b) in enumerate(kp.COCO18_LIMBS):
+            if joints[a, 2] > 0.05 and joints[b, 2] > 0.05:
+                c = tuple(int(255 * v) for v in kp.LIMB_COLORS[li][::-1])
+                cv2.line(img, tuple(joints[a, :2].astype(int)),
+                         tuple(joints[b, :2].astype(int)), c, 3)
+        cv2.imwrite(os.path.join(out_dir, frames[i]), img)
+    return n
