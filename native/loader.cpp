@@ -196,8 +196,18 @@ int decode_to(const char* path, void* out, int size, int mode) {
   } else if (mode == 1) {  // gray float [0, 1]
     float* o = reinterpret_cast<float*>(out);
     std::vector<float> plane(size_t(size) * size);
-    // luminance from first channel (masks are stored single-channel/flat)
-    resize_bilinear(im, size, 0, plane.data());
+    if (im.c == 3) {
+      // BT.601 luminance — matches the cv2.IMREAD_GRAYSCALE fallback path
+      std::vector<float> g(size_t(size) * size);
+      static const float lw[3] = {0.299f, 0.587f, 0.114f};
+      std::fill(plane.begin(), plane.end(), 0.0f);
+      for (int ch = 0; ch < 3; ++ch) {
+        resize_bilinear(im, size, ch, g.data());
+        for (int i = 0; i < size * size; ++i) plane[i] += lw[ch] * g[i];
+      }
+    } else {
+      resize_bilinear(im, size, 0, plane.data());
+    }
     for (int i = 0; i < size * size; ++i) o[i] = plane[i] / 255.0f;
   } else if (mode == 2) {  // label RGB uint8, nearest
     resize_nearest_u8(im, size, reinterpret_cast<uint8_t*>(out));
@@ -269,13 +279,14 @@ int nhvr_batch_submit(void* handle, const int* indices, int count, void* out) {
   auto* b = static_cast<Batcher*>(handle);
   std::lock_guard<std::mutex> lk(b->mu);
   if (b->pending != 0) return -1;  // previous batch not drained
+  // validate BEFORE mutating any state: rejecting mid-enqueue would leave
+  // pending > queued jobs and a later wait() would block forever
+  for (int i = 0; i < count; ++i)
+    if (indices[i] < 0 || indices[i] >= (int)b->paths.size()) return -2;
   b->out = reinterpret_cast<uint8_t*>(out);
   b->errors.store(0);
   b->pending = count;
-  for (int i = 0; i < count; ++i) {
-    if (indices[i] < 0 || indices[i] >= (int)b->paths.size()) return -2;
-    b->jobs.emplace(i, indices[i]);
-  }
+  for (int i = 0; i < count; ++i) b->jobs.emplace(i, indices[i]);
   b->cv_job.notify_all();
   return 0;
 }

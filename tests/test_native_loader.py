@@ -89,3 +89,38 @@ def test_batcher_reports_errors(img_dir, tmp_path):
     with pytest.raises(IOError):
         b.wait()
     b.close()
+
+
+def test_rgb_mask_luminance_matches_cv2(tmp_path):
+    """mode 1 (gray) on an RGB file: native luminance matches the cv2
+    IMREAD_GRAYSCALE fallback (BT.601)."""
+    if not nl.available():
+        pytest.skip("native loader unavailable")
+    import cv2
+    rng = np.random.default_rng(7)
+    img = rng.integers(0, 255, (24, 24, 3), dtype=np.uint8)
+    p = str(tmp_path / "m.png")
+    cv2.imwrite(p, cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    native = nl.decode_image(p, 24, nl.MODE_GRAY)
+    ref = cv2.imread(p, cv2.IMREAD_GRAYSCALE).astype(np.float32) / 255.0
+    assert np.abs(native - ref).max() < 2.5 / 255.0
+
+
+def test_submit_bad_index_leaves_pool_usable(tmp_path):
+    if not nl.available():
+        pytest.skip("native loader unavailable")
+    import cv2
+    rng = np.random.default_rng(8)
+    paths = []
+    for i in range(3):
+        p = str(tmp_path / f"f{i}.png")
+        cv2.imwrite(p, rng.integers(0, 255, (16, 16, 3), dtype=np.uint8))
+        paths.append(p)
+    b = nl.NativeBatcher(paths, 16, nl.MODE_RGB, threads=2)
+    with pytest.raises(RuntimeError):
+        b.submit([0, 99])          # out-of-range index rejected atomically
+    b.submit([0, 1, 2])            # pool still serviceable afterwards
+    out = b.wait()
+    assert out.shape == (3, 16, 16, 3)
+    assert np.isfinite(out).all()
+    b.close()
