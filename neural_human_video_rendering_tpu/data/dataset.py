@@ -375,7 +375,13 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, prefetch: int = 2,
-                 threads: int = 1):
+                 threads: int = 1, shard: Optional[Tuple[int, int]] = None):
+        """shard=(index, count): multi-host input sharding — each host
+        loads a disjoint 1/count slice of every (identically-shuffled)
+        epoch order, so a jax.process_count()>1 run feeds each host its
+        own samples with no coordination. Defaults to this process's
+        (jax.process_index(), jax.process_count()) when multiple processes
+        are present."""
         self.ds = dataset
         self.bs = batch_size
         self.shuffle = shuffle
@@ -384,16 +390,29 @@ class BatchLoader:
         self.prefetch = prefetch
         self.threads = max(1, threads)
         self.epoch = 0
+        if shard is None:
+            try:
+                import jax
+                shard = ((jax.process_index(), jax.process_count())
+                         if jax.process_count() > 1 else (0, 1))
+            except Exception:
+                shard = (0, 1)
+        assert 0 <= shard[0] < shard[1], f"bad shard {shard}"
+        self.shard = shard
 
     def __len__(self) -> int:
-        n = len(self.ds)
+        i, k = self.shard
+        n = (len(self.ds) - i + k - 1) // k      # strided-slice length
         return n // self.bs if self.drop_last else -(-n // self.bs)
 
     def _order(self) -> np.ndarray:
         idx = np.arange(len(self.ds))
         if self.shuffle:
+            # same seed on every host -> identical global order; each host
+            # takes a strided disjoint slice of it
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
-        return idx
+        i, n = self.shard
+        return idx[i::n] if n > 1 else idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         order = self._order()

@@ -133,3 +133,25 @@ def test_frame_dataset_real_files(tmp_path, tiny_opt):
     assert s["mask"].max() == 1.0
     # keypoints rescaled from the 48px canvas to loadSize
     assert abs(s["joints"][0, 0] - 10 * opt.loadSize / S) < 1e-4
+
+
+def test_batchloader_multihost_sharding(tiny_opt):
+    """shard=(i, n): disjoint strided slices of one identically-shuffled
+    global order — hosts cover the dataset exactly once per epoch."""
+    import dataclasses
+    from neural_human_video_rendering_tpu.data.dataset import (BatchLoader,
+                                                               SyntheticDataset)
+    opt = dataclasses.replace(tiny_opt, batchSize=2)
+    ds = SyntheticDataset(opt, length=12)
+    seen = []
+    for i in range(3):
+        loader = BatchLoader(ds, 2, shuffle=True, seed=5, shard=(i, 3))
+        assert len(loader) == 2
+        for b in loader:
+            seen.extend(int(x) for x in b["index"])
+    assert sorted(seen) == list(range(12))
+
+    # unsharded default covers everything too
+    loader = BatchLoader(ds, 2, shuffle=True, seed=5)
+    got = [int(x) for b in loader for x in b["index"]]
+    assert sorted(got) == list(range(12))
