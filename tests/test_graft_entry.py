@@ -1,0 +1,49 @@
+"""Driver-hook regression tests (VERDICT.md round 1, item 1).
+
+The driver runs `__graft_entry__.dryrun_multichip(N)` in its own process with
+NO pre-set XLA_FLAGS / JAX_PLATFORMS; round 1 shipped a hook that probed the
+backend before forcing the CPU platform and failed rc=1 under the axon TPU
+plugin. These tests reproduce the driver's exact invocation in fresh
+subprocesses so the hook can never silently regress again.
+"""
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _clean_env():
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env.pop("JAX_PLATFORMS", None)
+    return env
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_driver_invocation():
+    """Fresh subprocess, no env — exactly how the driver calls the hook."""
+    r = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(8)"],
+        cwd=REPO, env=_clean_env(), capture_output=True, text=True,
+        timeout=900)
+    assert r.returncode == 0, f"stderr:\n{r.stderr[-3000:]}"
+    assert "dryrun_multichip(8) OK" in r.stdout, r.stdout
+
+
+@pytest.mark.slow
+def test_dryrun_multichip_survives_preinitialized_backend():
+    """If a hostile caller initializes a 1-device backend first, the hook
+    must fall back to a clean subprocess rather than assert."""
+    code = ("import jax; jax.devices(); "
+            "import __graft_entry__ as g; g.dryrun_multichip(8)")
+    env = _clean_env()
+    env["JAX_PLATFORMS"] = "cpu"   # 1 CPU device, no host-count flag
+    r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
+                       capture_output=True, text=True, timeout=900)
+    assert r.returncode == 0, f"stderr:\n{r.stderr[-3000:]}"
+    assert "dryrun_multichip(8) OK" in r.stdout, r.stdout
