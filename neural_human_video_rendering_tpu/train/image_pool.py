@@ -1,0 +1,58 @@
+"""Fake-image history pool (pix2pixHD ImagePool, --pool_size).
+
+GAN stabilization from the reference's pix2pixHD lineage (SURVEY.md §2 #14;
+the flag is accepted by every launcher though the shipped configs leave it
+at 0): the discriminator trains on a mix of the current generator output and
+a rolling history of past fakes, so D cannot overfit the latest G.
+
+pix2pixHD keeps the pool as host-side Python state and stores the
+CONCATENATED (label, fake) pair; here the pool is a device-resident ring
+buffer inside the jitted train step — query/insert is pure array math
+(gather + scatter + PRNG), so the whole G/D step stays one XLA program with
+no host roundtrip.
+
+Semantics matched to pix2pixHD's ImagePool.query per batch element:
+  * pool not yet full -> insert the fake, train D on the fresh fake;
+  * pool full -> with p=0.5 swap the fresh fake with a random pool entry
+    and train D on the evicted one, else train D on the fresh fake.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+
+def pool_query(pool: jnp.ndarray, count: jnp.ndarray, key: jnp.ndarray,
+               imgs: jnp.ndarray
+               ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """One pooled D-input query.
+
+    pool:  (K, H, W, C) history buffer
+    count: () int32 number of valid entries
+    key:   PRNG key
+    imgs:  (B, H, W, C) fresh detached fakes (with their label channels)
+
+    Returns (d_inputs (B,H,W,C), new_pool, new_count, new_key).
+    """
+    B, K = imgs.shape[0], pool.shape[0]
+    k_idx, k_coin, k_next = jax.random.split(key, 3)
+    rand_idx = jax.random.randint(k_idx, (B,), 0, K)
+    coin = jax.random.uniform(k_coin, (B,)) < 0.5
+
+    slot = count + jnp.arange(B)             # would-be insert positions
+    filling = slot < K                       # element goes into an empty slot
+    use_hist = coin & ~filling               # full pool + heads -> play back
+
+    bcast = (slice(None), None, None, None)
+    returned = jnp.where(use_hist[bcast], pool[rand_idx], imgs)
+
+    # writes: filling inserts at `slot`; swaps write at `rand_idx`
+    write_idx = jnp.where(filling, jnp.minimum(slot, K - 1), rand_idx)
+    do_write = filling | use_hist
+    old = pool[write_idx]
+    pool = pool.at[write_idx].set(jnp.where(do_write[bcast], imgs, old))
+    count = jnp.minimum(count + jnp.sum(filling.astype(count.dtype)), K)
+    return returned, pool, count, k_next

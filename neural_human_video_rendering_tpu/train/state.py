@@ -34,6 +34,10 @@ class TrainState:
     static_tex: jnp.ndarray          # (P, T, T, 3)
     bg: jnp.ndarray                  # (H, W, 3)
     tex_mask: Optional[jnp.ndarray]  # (P, T, T, 1) or None
+    # fake-image history pool (--pool_size > 0; train/image_pool.py)
+    pool_buf: Optional[jnp.ndarray] = None   # (K, S, S, pose_nc+3)
+    pool_n: Optional[jnp.ndarray] = None     # () int32 valid entries
+    pool_rng: Optional[jnp.ndarray] = None   # PRNG key
 
 
 def make_optimizer(opt, steps_per_epoch: int = 0) -> optax.GradientTransformation:
@@ -85,7 +89,14 @@ def create_train_state(opt, rng: jax.Array, static_tex, bg,
 
     g_tx = make_optimizer(opt, steps_per_epoch)
     d_tx = make_optimizer(opt, steps_per_epoch)
+    pool_buf = pool_n = pool_rng = None
+    if with_discriminator and opt.pool_size > 0:
+        rng, pool_rng = jax.random.split(rng)
+        pool_buf = jnp.zeros((opt.pool_size, S, S, opt.pose_nc + 3),
+                             jnp.float32)
+        pool_n = jnp.zeros((), jnp.int32)
     state = TrainState(
+        pool_buf=pool_buf, pool_n=pool_n, pool_rng=pool_rng,
         step=jnp.zeros((), jnp.int32),
         g_params=g_params,
         d_params=d_params,

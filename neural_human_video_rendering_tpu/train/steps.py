@@ -32,18 +32,32 @@ from .state import TrainState
 # ----------------------------------------------------------------------
 
 def build_pose_input(opt, joints: jnp.ndarray,
-                     laplace: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """(B,18,3) joints (+ optional LaplaceProj channels) -> (B,S,S,pose_nc)."""
+                     laplace: Optional[jnp.ndarray],
+                     pose_img: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+    """(B,18,3) joints (+ optional LaplaceProj channels) -> (B,S,S,pose_nc).
+
+    When the dataset supplies a pre-rendered pose image (reference:
+    pre_train_tex.sh:5 feeds an openpose_img directory), it replaces the
+    on-device skeleton rasterization. LaplaceProj contributes
+    opt.laplace_nc_eff channels — 78 under the --input_nc 81 contract
+    (pre_train_tex.sh:18), laplace_nc otherwise.
+    """
     S = opt.train_size
     chans = []
-    if opt.pose_plus_laplace or not opt.use_laplace:
-        chans.append(render_skeleton_batch(joints, S, S))
+    if opt.use_pose_render:
+        chans.append(pose_img if pose_img is not None
+                     else render_skeleton_batch(joints, S, S))
     if opt.use_laplace:
         if laplace is None:
             B = joints.shape[0]
-            laplace = jnp.zeros((B, S, S, opt.laplace_nc), jnp.float32)
+            laplace = jnp.zeros((B, S, S, opt.laplace_nc_eff), jnp.float32)
         chans.append(laplace)
-    return jnp.concatenate(chans, axis=-1)
+    pose = jnp.concatenate(chans, axis=-1)
+    assert pose.shape[-1] == opt.pose_nc, (
+        f"pose input has {pose.shape[-1]} channels, config demands "
+        f"{opt.pose_nc} (input_nc={opt.input_nc}, use_laplace="
+        f"{opt.use_laplace}, laplace channels {opt.laplace_nc_eff})")
+    return pose
 
 
 def _shared_assets(state: TrainState):
@@ -74,7 +88,8 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         B = batch["joints"].shape[0]
-        pose = build_pose_input(opt, batch["joints"], batch.get("laplace"))
+        pose = build_pose_input(opt, batch["joints"], batch.get("laplace"),
+                                batch.get("pose_img"))
         real = batch["image"]
         tex, bg = _shared_assets(state)
         if "bg" in batch:
@@ -85,7 +100,8 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
 
         if use_temporal and not real_prev:
             pose_prev = build_pose_input(opt, batch["joints_prev"],
-                                         batch.get("laplace"))
+                                         batch.get("laplace"),
+                                         batch.get("pose_img_prev"))
         if detach_prev:
             # t-1 render is a forward-only target (stop-grad): the temporal
             # loss pulls frame t toward the flow-warped frame t-1 but not
@@ -151,12 +167,21 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
             g_loss_fn, has_aux=True)(state.g_params)
 
         fake_det = jax.lax.stop_gradient(fake)
+        d_in_fake = jnp.concatenate([pose, fake_det], -1)
+        pool_kwargs = {}
+        if opt.pool_size > 0:
+            # pix2pixHD ImagePool: D trains on a mix of fresh and historical
+            # (label, fake) pairs — device-side ring buffer, zero host sync
+            from .image_pool import pool_query
+            d_in_fake, pool_buf, pool_n, pool_rng = pool_query(
+                state.pool_buf, state.pool_n, state.pool_rng, d_in_fake)
+            pool_kwargs = dict(pool_buf=pool_buf, pool_n=pool_n,
+                               pool_rng=pool_rng)
 
         def d_loss_fn(d_params):
             d_real = disc.apply({"params": d_params},
                                 jnp.concatenate([pose, real], -1))
-            d_fake = disc.apply({"params": d_params},
-                                jnp.concatenate([pose, fake_det], -1))
+            d_fake = disc.apply({"params": d_params}, d_in_fake)
             return L.lsgan_loss_d(d_real, d_fake, use_lsgan)
 
         d_total, d_grads = jax.value_and_grad(d_loss_fn)(state.d_params)
@@ -167,7 +192,7 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
             step=state.step + 1,
             g_params=optax.apply_updates(state.g_params, g_ups),
             d_params=optax.apply_updates(state.d_params, d_ups),
-            g_opt=g_opt, d_opt=d_opt)
+            g_opt=g_opt, d_opt=d_opt, **pool_kwargs)
         metrics = dict(g_losses)
         metrics["G_total"] = g_total
         metrics["D_total"] = d_total
@@ -178,9 +203,9 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
 
 def make_forward_fn(opt, renderer):
     """Jitted inference forward: joints (+laplace) -> rendered frame dict."""
-    def fwd(g_params, state_assets, joints, laplace=None):
+    def fwd(g_params, state_assets, joints, laplace=None, pose_img=None):
         static_tex, bg, tex_mask = state_assets
-        pose = build_pose_input(opt, joints, laplace)
+        pose = build_pose_input(opt, joints, laplace, pose_img)
         # batch-1 shared assets: BGNet runs once, compositor broadcasts
         return renderer.apply({"params": g_params}, pose, bg[None],
                               static_tex[None], tex_mask)
@@ -198,7 +223,8 @@ def make_pretrain_uv_step(opt, transg, tx):
     w_prob = opt.lambda_Prob if opt.lambda_Prob > 0 else 10.0
 
     def step(params, opt_state, batch):
-        pose = build_pose_input(opt, batch["joints"], batch.get("laplace"))
+        pose = build_pose_input(opt, batch["joints"], batch.get("laplace"),
+                                batch.get("pose_img"))
 
         def loss_fn(p):
             logits, uv = transg.apply({"params": p}, pose)
@@ -226,7 +252,8 @@ def make_pretrain_tex_step(opt, texg, tx, static_tex, tex_mask=None):
     static = jnp.asarray(static_tex, jnp.float32)
 
     def step(params, opt_state, batch):
-        pose = build_pose_input(opt, batch["joints"], batch.get("laplace"))
+        pose = build_pose_input(opt, batch["joints"], batch.get("laplace"),
+                                batch.get("pose_img"))
         gt = batch["part_texture"]           # (B, P, T, T, 3)
 
         def loss_fn(p):

@@ -13,9 +13,14 @@ import jax
 import jax.numpy as jnp
 
 
-def psnr(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """PSNR in dB for images in [-1, 1] (peak-to-peak 2.0)."""
-    mse = jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2)
+def psnr(a: jnp.ndarray, b: jnp.ndarray, per_sample: bool = False) -> jnp.ndarray:
+    """PSNR in dB for images in [-1, 1] (peak-to-peak 2.0).
+
+    per_sample=True returns a (B,) vector (one value per batch element) so
+    callers can mask padded tail entries without bias."""
+    axes = tuple(range(1, a.ndim)) if per_sample else None
+    mse = jnp.mean((a.astype(jnp.float32) - b.astype(jnp.float32)) ** 2,
+                   axis=axes)
     return 10.0 * jnp.log10(4.0 / jnp.maximum(mse, 1e-10))
 
 
@@ -26,8 +31,9 @@ def _gaussian_kernel(size: int = 11, sigma: float = 1.5) -> jnp.ndarray:
     return g[:, None] * g[None, :]
 
 
-def ssim(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Mean SSIM over a batch, images (B,H,W,C) in [-1,1]."""
+def ssim(a: jnp.ndarray, b: jnp.ndarray, per_sample: bool = False) -> jnp.ndarray:
+    """Mean SSIM over a batch, images (B,H,W,C) in [-1,1];
+    per_sample=True returns a (B,) vector."""
     a = (a.astype(jnp.float32) + 1) / 2
     b = (b.astype(jnp.float32) + 1) / 2
     k = _gaussian_kernel()[..., None, None]           # (11,11,1,1)
@@ -47,10 +53,23 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     c1, c2 = 0.01 ** 2, 0.03 ** 2
     s = ((2 * mu_a * mu_b + c1) * (2 * cov + c2)) / (
         (mu_a ** 2 + mu_b ** 2 + c1) * (var_a + var_b + c2))
+    if per_sample:
+        return jnp.mean(s, axis=tuple(range(1, s.ndim)))
     return jnp.mean(s)
 
 
-def vgg_distance(vgg_params, a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+def vgg_distance(vgg_params, a: jnp.ndarray, b: jnp.ndarray,
+                 per_sample: bool = False) -> jnp.ndarray:
     """LPIPS-style perceptual distance using the framework's VGG features."""
-    from ..losses.perceptual import vgg_loss
-    return vgg_loss(vgg_params, a, b)
+    if not per_sample:
+        from ..losses.perceptual import vgg_loss
+        return vgg_loss(vgg_params, a, b)
+    from ..models.vgg import FEATURE_WEIGHTS, VGG19Features
+    model = VGG19Features(dtype=jnp.bfloat16)
+    fa = model.apply({"params": vgg_params}, a)
+    fb = model.apply({"params": vgg_params}, b)
+    d = 0.0
+    for w, x, y in zip(FEATURE_WEIGHTS, fa, fb):
+        d = d + w * jnp.mean(jnp.abs(x - y),
+                             axis=tuple(range(1, x.ndim)))
+    return d

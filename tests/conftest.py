@@ -37,5 +37,5 @@ def tiny_opt():
                    n_blocks_global=1, n_downsample_global=1,
                    n_blocks_bg=1, n_downsample_bg=1,
                    ngf=4, ngf_global=4, ndf=4, num_D=2, n_layers_D=2,
-                   dtype="float32", use_pallas_warp=False,
+                   dtype="float32", use_pallas_warp=False, no_flip=True,
                    checkpoints_dir="/tmp/nhvr_tests")

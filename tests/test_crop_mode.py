@@ -41,24 +41,38 @@ def test_crop_alignment(tiny_opt, tmp_path, monkeypatch):
     assert opt.train_size == 32
 
     ds = dsm.FrameDataset(opt, "train")
-    monkeypatch.setattr(np.random, "randint",
-                        lambda lo, hi, size=None: np.array([3, 5]))
     s = ds[1]
     assert s["image"].shape == (32, 32, 3)
     assert s["bg"].shape == (32, 32, 3)
 
-    # the crop window is [oy=3:35, ox=5:37] of the full resize
+    # crop offsets are a deterministic function of (seed, epoch, index):
+    # replay the dataset's generator to know the window
+    rng = np.random.default_rng((opt.seed, 0, 1))
+    oy = int(rng.integers(0, 40 - 32 + 1))
+    ox = int(rng.integers(0, 40 - 32 + 1))
     full = dsm.load_image(f"{root}/img/frame00001.png", 40)
-    np.testing.assert_allclose(s["image"], full[3:35, 5:37], atol=1e-6)
+    np.testing.assert_allclose(s["image"], full[oy:oy + 32, ox:ox + 32],
+                               atol=1e-6)
     bg_full = dsm.load_image(f"{root}/bg.jpg", 40)
-    np.testing.assert_allclose(s["bg"], bg_full[3:35, 5:37], atol=1e-6)
+    np.testing.assert_allclose(s["bg"], bg_full[oy:oy + 32, ox:ox + 32],
+                               atol=1e-6)
+    # same sample fetched again (any thread/order) -> identical crop
+    np.testing.assert_array_equal(s["image"], ds[1]["image"])
 
     # joints shifted by the same offset
     ds_plain = dsm.FrameDataset(
         dataclasses.replace(opt, resize_or_crop="resize", fineSize=40), "train")
     j_plain = ds_plain[1]["joints"]
-    np.testing.assert_allclose(s["joints"][:, 0], j_plain[:, 0] - 5, atol=1e-5)
-    np.testing.assert_allclose(s["joints"][:, 1], j_plain[:, 1] - 3, atol=1e-5)
+    np.testing.assert_allclose(s["joints"][:, 0], j_plain[:, 0] - ox, atol=1e-5)
+    np.testing.assert_allclose(s["joints"][:, 1], j_plain[:, 1] - oy, atol=1e-5)
+
+    # eval phase: deterministic CENTER crop (no augmentation noise in the
+    # held-out metrics, ADVICE r1 #5)
+    ds_eval = dsm.FrameDataset(dataclasses.replace(opt, data_ratio=0.5), "test")
+    se = ds_eval[0]
+    i_full = dsm.load_image(
+        f"{root}/img/frame{int(se['index']):05d}.png", 40)
+    np.testing.assert_allclose(se["image"], i_full[4:36, 4:36], atol=1e-6)
 
 
 def test_train_step_with_crop_bg(tiny_opt, tmp_path):

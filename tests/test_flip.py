@@ -1,0 +1,114 @@
+"""Horizontal-flip augmentation (pix2pixHD default; VERDICT r1 missing #3):
+COCO-18 L/R joint swap, DensePose 24-part mirror + U-flip, flow negation,
+and whole-sample consistency through FrameDataset."""
+
+import dataclasses
+
+import numpy as np
+
+from neural_human_video_rendering_tpu.data import dataset as dsm
+from neural_human_video_rendering_tpu.data import densepose as dp
+from neural_human_video_rendering_tpu.data import keypoints as kp
+
+from corpus import make_corpus
+
+
+def test_flip_keypoints_golden():
+    j = np.zeros((18, 3), np.float32)
+    j[:, 2] = 1.0
+    j[2] = [10, 50, 1]    # RShoulder
+    j[5] = [90, 50, 1]    # LShoulder
+    j[10] = [20, 120, 1]  # RAnkle
+    j[13] = [80, 120, 1]  # LAnkle
+    j[14] = [45, 20, 1]   # REye
+    j[15] = [55, 20, 1]   # LEye
+    f = kp.flip_keypoints(j, width=100)
+    # mirrored RShoulder is the old LShoulder at x -> 99 - 90 = 9
+    np.testing.assert_allclose(f[2], [9, 50, 1])
+    np.testing.assert_allclose(f[5], [89, 50, 1])
+    np.testing.assert_allclose(f[10], [19, 120, 1])
+    np.testing.assert_allclose(f[14], [44, 20, 1])
+    # y and confidence untouched everywhere
+    np.testing.assert_allclose(np.sort(f[:, 1]), np.sort(j[:, 1]))
+    # involution: flipping twice restores the original
+    np.testing.assert_allclose(kp.flip_keypoints(f, 100), j)
+    # undetected joints stay untouched in x
+    j2 = j.copy()
+    j2[4, 2] = 0.0
+    j2[4, 0] = 33.0
+    f2 = kp.flip_keypoints(j2, 100)
+    assert f2[7, 0] == 33.0 and f2[7, 2] == 0.0   # moved to LWrist slot, x kept
+
+
+def test_flip_perm_is_involution():
+    p = kp.COCO18_FLIP_PERM
+    np.testing.assert_array_equal(p[p], np.arange(18))
+    pm = dp.PART_MIRROR
+    np.testing.assert_array_equal(pm[pm], np.arange(25))
+    # left/right pairs actually differ (except torso + background)
+    assert (pm[3], pm[4]) == (4, 3)
+    assert (pm[5], pm[6]) == (6, 5)
+    assert (pm[23], pm[24]) == (24, 23)
+    assert pm[1] == 1 and pm[2] == 2
+
+
+def test_flip_iuv():
+    rng = np.random.default_rng(0)
+    parts = rng.integers(0, 25, (8, 8)).astype(np.int32)
+    uv = rng.uniform(0, 1, (8, 8, 2)).astype(np.float32)
+    uv[parts == 0] = 0
+    p2, uv2 = dp.flip_iuv(parts, uv)
+    # columns mirrored + labels swapped
+    np.testing.assert_array_equal(p2[:, 0], dp.PART_MIRROR[parts[:, -1]])
+    # U flipped on body texels, V preserved
+    body = parts[:, ::-1] > 0
+    np.testing.assert_allclose(uv2[..., 1], uv[:, ::-1, 1])
+    np.testing.assert_allclose(uv2[..., 0][body], 1.0 - uv[:, ::-1, 0][body])
+    assert np.all(uv2[~body] == 0)
+    # involution
+    p3, uv3 = dp.flip_iuv(p2, uv2)
+    np.testing.assert_array_equal(p3, parts)
+    np.testing.assert_allclose(uv3, uv, atol=1e-6)
+
+
+def test_dataset_flip_consistency(tiny_opt, tmp_path):
+    """Find a sample the seeded augmentation flips and check every modality
+    moved together."""
+    c = make_corpus(str(tmp_path), n=8, size=32)
+    opt = dataclasses.replace(
+        tiny_opt, no_flip=False, loadSize=32,
+        pose_path=c["openpose_json"], img_path=c["frames"],
+        mask_path=c["mask"], densepose_path=c["densepose"],
+        flow_path=c["flow"], flow_inv_path=c["flow_inv"])
+    ds = dsm.FrameDataset(opt, "train")
+    ds_plain = dsm.FrameDataset(dataclasses.replace(opt, no_flip=True),
+                                "train")
+    flipped_seen = unflipped_seen = False
+    for i in range(len(ds)):
+        s, p = ds[i], ds_plain[i]
+        if np.array_equal(s["image"], p["image"]):
+            unflipped_seen = True
+            continue
+        flipped_seen = True
+        np.testing.assert_array_equal(s["image"], p["image"][:, ::-1])
+        np.testing.assert_array_equal(s["mask"], p["mask"][:, ::-1])
+        exp_parts, exp_uv = dp.flip_iuv(p["dp_parts"], p["dp_uv"])
+        np.testing.assert_array_equal(s["dp_parts"], exp_parts)
+        np.testing.assert_allclose(s["dp_uv"], exp_uv, atol=1e-6)
+        np.testing.assert_allclose(s["joints"],
+                                   kp.flip_keypoints(p["joints"], 32),
+                                   atol=1e-5)
+        if int(s["index"]) > 0:
+            np.testing.assert_allclose(s["flow"][..., 0],
+                                       -p["flow"][:, ::-1, 0], atol=1e-6)
+            np.testing.assert_allclose(s["flow"][..., 1],
+                                       p["flow"][:, ::-1, 1], atol=1e-6)
+    assert flipped_seen and unflipped_seen, \
+        "seeded coin should flip some samples and not others"
+    # reference launchers pass --no_flip: augmentation must be off there
+    s0 = dsm.FrameDataset(dataclasses.replace(opt, no_flip=True), "train")[1]
+    np.testing.assert_array_equal(s0["image"], ds_plain[1]["image"])
+    # eval phase never flips
+    ds_eval = dsm.FrameDataset(dataclasses.replace(opt, data_ratio=0.5),
+                               "test")
+    assert not ds_eval.flip

@@ -1,0 +1,85 @@
+"""Fake-image pool (--pool_size; pix2pixHD ImagePool semantics, VERDICT r1
+missing #6) — pure-function unit tests + the jitted train step carrying pool
+state."""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from neural_human_video_rendering_tpu.train.image_pool import pool_query
+
+
+def _imgs(vals):
+    """Batch of constant images tagged by value, shape (B, 2, 2, 1)."""
+    return jnp.asarray(np.array(vals, np.float32)[:, None, None, None]
+                       * np.ones((1, 2, 2, 1), np.float32))
+
+
+def test_pool_filling_phase_returns_fresh():
+    pool = jnp.zeros((4, 2, 2, 1))
+    count = jnp.zeros((), jnp.int32)
+    key = jax.random.PRNGKey(0)
+    out, pool, count, key = pool_query(pool, count, key, _imgs([1, 2]))
+    np.testing.assert_allclose(np.asarray(out)[:, 0, 0, 0], [1, 2])
+    assert int(count) == 2
+    # inserted in order
+    np.testing.assert_allclose(np.asarray(pool)[:, 0, 0, 0], [1, 2, 0, 0])
+    out, pool, count, key = pool_query(pool, count, key, _imgs([3, 4]))
+    np.testing.assert_allclose(np.asarray(out)[:, 0, 0, 0], [3, 4])
+    assert int(count) == 4
+    np.testing.assert_allclose(np.asarray(pool)[:, 0, 0, 0], [1, 2, 3, 4])
+
+
+def test_pool_full_phase_mixes_history():
+    pool = _imgs([10, 20, 30, 40]).reshape(4, 2, 2, 1)
+    count = jnp.asarray(4, jnp.int32)
+    key = jax.random.PRNGKey(0)
+    hist = fresh = 0
+    for step in range(40):
+        out, pool, count, key = pool_query(pool, count, key,
+                                           _imgs([100 + step]))
+        v = float(np.asarray(out)[0, 0, 0, 0])
+        if v == 100 + step:
+            fresh += 1
+        else:
+            hist += 1
+        assert int(count) == 4
+    # p=0.5 coin: both outcomes occur
+    assert hist > 5 and fresh > 5
+    # swapped-in fakes circulate: the pool no longer holds only originals
+    assert np.asarray(pool).max() >= 100
+
+
+def test_pool_query_is_jittable():
+    f = jax.jit(pool_query)
+    out, pool, count, key = f(jnp.zeros((3, 2, 2, 1)),
+                              jnp.zeros((), jnp.int32),
+                              jax.random.PRNGKey(1), _imgs([5, 6]))
+    np.testing.assert_allclose(np.asarray(out)[:, 0, 0, 0], [5, 6])
+
+
+def test_train_step_with_pool(tiny_opt):
+    """--pool_size > 0 threads pool state through the jitted G+D step."""
+    from neural_human_video_rendering_tpu.data import dataset as dsm
+    from neural_human_video_rendering_tpu.train import steps as st
+    from neural_human_video_rendering_tpu.train.state import create_train_state
+
+    opt = dataclasses.replace(tiny_opt, pool_size=6, lambda_L2=500,
+                              no_vgg_loss=True)
+    ds = dsm.SyntheticDataset(opt, length=2)
+    batch = {k: jnp.asarray(v) for k, v in dsm.collate([ds[0], ds[1]]).items()}
+    bundle = create_train_state(opt, jax.random.PRNGKey(0),
+                                ds.texture_atlas(), ds.background())
+    state = bundle["state"]
+    assert state.pool_buf.shape == (6, opt.train_size, opt.train_size,
+                                    opt.pose_nc + 3)
+    step = st.make_train_step(opt, bundle["renderer"], bundle["disc"],
+                              bundle["vgg_params"], bundle["g_tx"],
+                              bundle["d_tx"])
+    for _ in range(4):
+        state, metrics = step(state, batch)
+    assert int(state.pool_n) == 6   # filled past capacity and capped
+    assert np.isfinite(float(metrics["G_total"]))
+    assert float(jnp.abs(state.pool_buf).max()) > 0

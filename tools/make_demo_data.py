@@ -1,0 +1,49 @@
+#!/usr/bin/env python3
+"""Fabricate the full data-contract tree from the reference keypoint demo.
+
+The reference demo (test_start/start.sh) drives a trained checkpoint with
+the 100 on-disk OpenPose JSONs; this environment has no real video, so this
+tool turns that same keypoint sequence into a deterministic, learnable
+dataset (frames/mask/densepose/flow/bg/texture — see
+data/synthetic_video.py for the construction) that the stage-1/stage-2
+launchers can train on with path edits only:
+
+    python tools/make_demo_data.py --out /tmp/demo_data --size 512
+"""
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--out", required=True)
+    p.add_argument("--size", type=int, default=512)
+    p.add_argument("--tile", type=int, default=64)
+    p.add_argument("--keypoints", default="/root/reference/keypoints",
+                   help="driving OpenPose JSON dir (reference demo corpus)")
+    p.add_argument("--repeat", type=int, default=1,
+                   help="loop the sequence N times for a longer corpus")
+    p.add_argument("--laplace_ch", type=int, default=0)
+    a = p.parse_args()
+
+    import numpy as np
+    from neural_human_video_rendering_tpu.data import synthetic_video as sv
+
+    joints = sv.load_reference_joints(a.keypoints, a.size)
+    if a.repeat > 1:
+        joints = np.concatenate([joints] * a.repeat)
+    os.makedirs(a.out, exist_ok=True)
+    paths = sv.write_corpus(a.out, joints, size=a.size, tile=a.tile,
+                            laplace_ch=a.laplace_ch)
+    print(f"wrote {len(joints)} frames -> {a.out}")
+    for k, v in sorted(paths.items()):
+        print(f"  {k}: {v}")
+
+
+if __name__ == "__main__":
+    main()
