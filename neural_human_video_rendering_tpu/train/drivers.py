@@ -209,6 +209,14 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
                                           shuffle=False, drop_last=False)
             efwd = make_forward_fn(opt, bundle["renderer"])
 
+            @jax.jit
+            def _metrics(fake, real):
+                # per-sample so a short tail batch (drop_last=False) gets
+                # exact weighting; jitted because eager SSIM convs over the
+                # remote relay cost ~20 s/eval
+                return (psnr(fake, real, per_sample=True),
+                        ssim(fake, real, per_sample=True))
+
             def eval_fn(st, epoch):
                 ps, ss, n = 0.0, 0.0, 0
                 for eb in eval_loader:
@@ -218,9 +226,10 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
                                 jnp.asarray(eb["laplace"])
                                 if "laplace" in eb else None)
                     real = jnp.asarray(eb["image"])
-                    ps += float(psnr(outs["fake"], real))
-                    ss += float(ssim(outs["fake"], real))
-                    n += 1
+                    p, s = _metrics(outs["fake"], real)
+                    ps += float(jnp.sum(p))
+                    ss += float(jnp.sum(s))
+                    n += int(p.shape[0])
                 if n == 0:
                     return {}
                 return {"val_PSNR": ps / n, "val_SSIM": ss / n}

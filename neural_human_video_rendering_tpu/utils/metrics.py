@@ -41,10 +41,14 @@ def ssim(a: jnp.ndarray, b: jnp.ndarray, per_sample: bool = False) -> jnp.ndarra
     kern = jnp.tile(k, (1, 1, 1, C))
 
     def filt(x):
+        # precision=HIGHEST: TPU convs otherwise run bf16, and the
+        # var = E[x^2] - mu^2 cancellation then produces garbage SSIM
+        # (observed ~16 at 512px); metrics must be exact, unlike training
         return jax.lax.conv_general_dilated(
             x, kern, (1, 1), "VALID",
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            feature_group_count=C)
+            feature_group_count=C,
+            precision=jax.lax.Precision.HIGHEST)
 
     mu_a, mu_b = filt(a), filt(b)
     var_a = filt(a * a) - mu_a ** 2

@@ -43,6 +43,11 @@ class Visualizer:
                 self.tb = SummaryWriter(self.log_dir)
             except Exception:
                 self.jsonl = open(os.path.join(self.log_dir, "scalars.jsonl"), "a")
+        # always-on machine-readable curve (beyond the reference): every
+        # logged scalar lands in {run_dir}/metrics.jsonl so eval
+        # trajectories are recoverable without TensorBoard
+        self.metrics_jsonl = open(os.path.join(self.run_dir,
+                                               "metrics.jsonl"), "a")
         self._t0 = time.time()
         self._last_print = self._t0
 
@@ -61,6 +66,9 @@ class Visualizer:
         elif self.jsonl is not None:
             self.jsonl.write(json.dumps({"step": step, **losses}) + "\n")
             self.jsonl.flush()
+        self.metrics_jsonl.write(json.dumps(
+            {"epoch": epoch, "it": it, "step": step, **losses}) + "\n")
+        self.metrics_jsonl.flush()
 
     # -- images -------------------------------------------------------
     def display_results(self, visuals: Mapping[str, np.ndarray], epoch: int,
@@ -85,3 +93,4 @@ class Visualizer:
             self.tb.close()
         if self.jsonl is not None:
             self.jsonl.close()
+        self.metrics_jsonl.close()

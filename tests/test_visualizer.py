@@ -65,3 +65,23 @@ def test_opt_txt_dump(tiny_opt, tmp_path):
     txt = open(os.path.join(opt.run_dir, "opt.txt")).read()
     assert txt.startswith("------------ Options -------------")
     assert "name: vistest" in txt and "loadSize: 32" in txt
+
+
+def test_metrics_jsonl_always_written(tiny_opt, tmp_path):
+    """Every logged scalar lands in {run_dir}/metrics.jsonl (the quality
+    harness reads val curves from it) even without --tf_log."""
+    import dataclasses
+    import json
+    import os
+    from neural_human_video_rendering_tpu.utils.visualizer import Visualizer
+
+    opt = dataclasses.replace(tiny_opt, name="mj",
+                              checkpoints_dir=str(tmp_path))
+    vis = Visualizer(opt)
+    vis.log_losses(1, 5, {"G_total": 2.5}, step=10)
+    vis.log_losses(2, -1, {"val_PSNR": 21.0, "val_SSIM": 0.5}, step=20)
+    vis.close()
+    recs = [json.loads(l) for l in
+            open(os.path.join(opt.run_dir, "metrics.jsonl"))]
+    assert recs[0] == {"epoch": 1, "it": 5, "step": 10, "G_total": 2.5}
+    assert recs[1]["val_PSNR"] == 21.0 and recs[1]["epoch"] == 2
