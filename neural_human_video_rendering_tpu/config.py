@@ -140,6 +140,7 @@ class Options:
     dtype: str = "bfloat16"          # compute dtype; params/opt state stay fp32
     mesh_shape: str = ""             # e.g. "8" or "4,2"; empty = all devices, 1 axis
     use_pallas_warp: bool = True     # fused Pallas texture-warp kernel
+    wire_pack: bool = True           # uint8/f16 host->device batch format (lossless for 8-bit sources)
     warp_topk: int = 4               # top-k part sampling in the texture warp (0/24 = all parts)
     warp_block_parts: int = 8        # cap active parts per warp-kernel block (0 = no cap)
     temporal_detach_prev: bool = True  # stop-grad the t-1 frame in the temporal loss (fwd-only prev render)

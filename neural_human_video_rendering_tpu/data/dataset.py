@@ -546,7 +546,8 @@ class BatchLoader:
 
     def __init__(self, dataset, batch_size: int, shuffle: bool = True,
                  seed: int = 0, drop_last: bool = True, prefetch: int = 2,
-                 threads: int = 1, shard: Optional[Tuple[int, int]] = None):
+                 threads: int = 1, shard: Optional[Tuple[int, int]] = None,
+                 transform=None):
         """shard=(index, count): multi-host input sharding — each host
         loads a disjoint 1/count slice of every (identically-shuffled)
         epoch order, so a jax.process_count()>1 run feeds each host its
@@ -570,6 +571,9 @@ class BatchLoader:
                 shard = (0, 1)
         assert 0 <= shard[0] < shard[1], f"bad shard {shard}"
         self.shard = shard
+        # per-batch host-side transform applied in the worker thread
+        # (e.g. wire.pack_batch: float32 -> uint8/f16 upload format)
+        self.transform = transform
 
     def __len__(self) -> int:
         # host-invariant length: every shard reports floor(N / k) samples
@@ -614,7 +618,10 @@ class BatchLoader:
                     sel = order[b * self.bs:(b + 1) * self.bs]
                     if len(sel) < self.bs and self.drop_last:
                         break
-                    q.put(collate(fetch(sel)))
+                    batch = collate(fetch(sel))
+                    if self.transform is not None:
+                        batch = self.transform(batch)
+                    q.put(batch)
             finally:
                 q.put(None)
                 if pool is not None:

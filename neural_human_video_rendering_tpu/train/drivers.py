@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..data import dataset as dsm
+from ..data.wire import pack_batch
 from ..models.generators import TexG, TransG
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import checkpoint as ckpt
@@ -135,7 +136,8 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
     ds = _dataset(opt, "train")
     loader = dsm.BatchLoader(ds, _local_batch_size(opt),
                              shuffle=not opt.serial_batches,
-                             seed=opt.seed, threads=opt.nThreads)
+                             seed=opt.seed, threads=opt.nThreads,
+                             transform=pack_batch if opt.wire_pack else None)
     tex, bg = _assets(opt, ds)
     tex_mask = _tex_mask(opt, tex)
     bundle = create_train_state(opt, jax.random.PRNGKey(opt.seed), tex, bg,
@@ -249,7 +251,8 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
 def run_pretrain_uv(opt, epochs: Optional[int] = None):
     ds = _dataset(opt, "train")
     loader = dsm.BatchLoader(ds, _local_batch_size(opt), seed=opt.seed,
-                             threads=opt.nThreads)
+                             threads=opt.nThreads,
+                             transform=pack_batch if opt.wire_pack else None)
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
     transg = TransG(opt.n_parts, opt.ngf, opt.n_downsample_translate,
                     opt.n_blocks_translate, stem_s2d=opt.stem_s2d,
@@ -342,7 +345,8 @@ def run_pretrain_tex(opt, epochs: Optional[int] = None):
     base = _dataset(opt, "train")
     ds = _TexDataset(opt, base)
     loader = dsm.BatchLoader(ds, _local_batch_size(opt), seed=opt.seed,
-                             threads=opt.nThreads)
+                             threads=opt.nThreads,
+                             transform=pack_batch if opt.wire_pack else None)
     tex, _ = _assets(opt, base)
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
     texg = TexG(opt.n_parts, opt.tex_tile, opt.ngf_global,

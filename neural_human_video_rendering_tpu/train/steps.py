@@ -24,6 +24,7 @@ import optax
 
 from .. import losses as L
 from ..data.rasterize import render_skeleton_batch
+from ..data.wire import unpack_batch
 from .state import TrainState
 
 
@@ -87,6 +88,7 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
     detach_prev = use_temporal and opt.temporal_detach_prev and not real_prev
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
+        batch = unpack_batch(batch)   # wire-format (uint8/f16) -> f32, fused
         B = batch["joints"].shape[0]
         pose = build_pose_input(opt, batch["joints"], batch.get("laplace"),
                                 batch.get("pose_img"))
@@ -223,6 +225,7 @@ def make_pretrain_uv_step(opt, transg, tx):
     w_prob = opt.lambda_Prob if opt.lambda_Prob > 0 else 10.0
 
     def step(params, opt_state, batch):
+        batch = unpack_batch(batch)
         pose = build_pose_input(opt, batch["joints"], batch.get("laplace"),
                                 batch.get("pose_img"))
 
@@ -252,6 +255,7 @@ def make_pretrain_tex_step(opt, texg, tx, static_tex, tex_mask=None):
     static = jnp.asarray(static_tex, jnp.float32)
 
     def step(params, opt_state, batch):
+        batch = unpack_batch(batch)
         pose = build_pose_input(opt, batch["joints"], batch.get("laplace"),
                                 batch.get("pose_img"))
         gt = batch["part_texture"]           # (B, P, T, T, 3)
