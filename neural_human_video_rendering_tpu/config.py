@@ -135,6 +135,8 @@ class Options:
     # the inference driver)
     target_shape: str = ""
     source_shape: str = ""
+    save_video: bool = False         # also assemble {results_dir}/video.mp4
+    video_fps: float = 25.0
 
     # ---- TPU-native knobs (new; no reference analog) ----
     dtype: str = "bfloat16"          # compute dtype; params/opt state stay fp32

@@ -180,5 +180,11 @@ def run_inference(opt, batch_size: int = 4,
         w.result()                  # surface any encode errors
     pool.shutdown()
     gallery.save()
+    if opt.save_video and written:
+        from ..utils.video import write_video
+        vpath = os.path.join(opt.results_dir, "video.mp4")
+        nv = write_video(os.path.join(opt.results_dir, "images"), vpath,
+                         fps=opt.video_fps)
+        print(f"[infer] wrote {nv}-frame video -> {vpath}", flush=True)
     print(f"[infer] wrote {written} frames -> {opt.results_dir}", flush=True)
     return written

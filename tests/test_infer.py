@@ -35,3 +35,30 @@ def test_visualizer_artifacts(tiny_opt, tmp_path):
     vis.close()
     assert os.path.exists(os.path.join(opt.run_dir, "web", "index.html"))
     assert os.path.isdir(os.path.join(opt.run_dir, "logs"))
+
+
+def test_save_video(tiny_opt, tmp_path):
+    """--save_video assembles the rendered frames into a playable file."""
+    import cv2
+    import dataclasses
+    from neural_human_video_rendering_tpu.utils.video import write_video
+    from neural_human_video_rendering_tpu.utils.image import save_image
+    import numpy as np
+
+    img_dir = tmp_path / "images"
+    img_dir.mkdir()
+    for i in range(5):
+        save_image(str(img_dir / f"frame{i:05d}_synthesized.jpg"),
+                   np.full((32, 32, 3), -1 + i * 0.4, np.float32))
+    out = str(tmp_path / "video.mp4")
+    n = write_video(str(img_dir), out, fps=5)
+    assert n == 5
+    # a file was produced (mp4 or the MJPG fallback) and decodes back
+    import os
+    produced = out if os.path.isfile(out) else str(tmp_path / "video.avi")
+    cap = cv2.VideoCapture(produced)
+    assert cap.isOpened()
+    frames = 0
+    while cap.read()[0]:
+        frames += 1
+    assert frames == 5
