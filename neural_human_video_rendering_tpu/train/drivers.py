@@ -186,7 +186,9 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
 
     def visuals_fn(st, batch):
         nonlocal fwd
+        from ..data.wire import unpack_batch
         from .steps import make_forward_fn
+        batch = unpack_batch(batch)   # wire-packed batches -> f32 for display
         if fwd is None:
             fwd = make_forward_fn(opt, bundle["renderer"])
         outs = fwd(st.g_params, (st.static_tex, st.bg, st.tex_mask),

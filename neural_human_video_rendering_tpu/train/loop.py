@@ -18,6 +18,29 @@ from ..data.dataset import BatchLoader
 from ..utils.visualizer import Visualizer
 
 
+def device_iter(loader, mesh=None):
+    """Yield loader batches as device arrays, uploading ONE BATCH AHEAD.
+
+    jax.device_put dispatches asynchronously, so the next batch's
+    host->device transfer overlaps the current step's compute — on a
+    bandwidth-limited link this hides most of the wire time that remains
+    after wire-format packing (data/wire.py). With a mesh, the upload is
+    the sharded placement (shard_batch)."""
+    if mesh is not None:
+        from ..parallel.mesh import shard_batch
+        put = lambda b: shard_batch(mesh, b)          # noqa: E731
+    else:
+        put = lambda b: jax.tree.map(jax.device_put, b)  # noqa: E731
+    pending = None
+    for b in loader:
+        nxt = put(b)
+        if pending is not None:
+            yield pending
+        pending = nxt
+    if pending is not None:
+        yield pending
+
+
 def run_training(opt, loader: BatchLoader, step_fn: Callable,
                  carry, epochs: int,
                  save_fn: Callable[[object, int], None],
@@ -35,10 +58,7 @@ def run_training(opt, loader: BatchLoader, step_fn: Callable,
     try:
         for epoch in range(start_epoch, epochs + 1):
             t_epoch = time.time()
-            for it, batch in enumerate(loader):
-                if mesh is not None:
-                    from ..parallel.mesh import shard_batch
-                    batch = shard_batch(mesh, batch)
+            for it, batch in enumerate(device_iter(loader, mesh)):
                 # jax.profiler trace window (SURVEY.md §5: the reference has
                 # no tracing at all; --profile_dir adds a real device trace)
                 if opt.profile_dir and total_steps == opt.profile_start:

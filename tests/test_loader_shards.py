@@ -77,3 +77,20 @@ def test_flow_pairwise_layout(tiny_opt, tmp_path):
     s4 = ds[4]
     expected = dsm.load_flow(f"{c['flow']}/frame00003.flo", 32)
     np.testing.assert_allclose(s4["flow"], expected)
+
+
+def test_device_iter_order_and_placement(tiny_opt):
+    """device_iter uploads one batch ahead but preserves order and content."""
+    import jax
+    from neural_human_video_rendering_tpu.train.loop import device_iter
+
+    ds = dsm.SyntheticDataset(tiny_opt, length=6)
+    loader = dsm.BatchLoader(ds, 2, shuffle=False)
+    out = list(device_iter(loader))
+    assert len(out) == 3
+    for b_dev, b_host in zip(out, dsm.BatchLoader(ds, 2, shuffle=False)):
+        assert isinstance(b_dev["image"], jax.Array)
+        np.testing.assert_array_equal(np.asarray(b_dev["index"]),
+                                      b_host["index"])
+        np.testing.assert_allclose(np.asarray(b_dev["image"]),
+                                   b_host["image"])
