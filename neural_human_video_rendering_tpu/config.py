@@ -63,7 +63,10 @@ class Options:
     laplace_nc: int = 3              # channels loaded per LaplaceProj frame
 
     # ---- generator architecture ----
-    netG: str = "global"
+    netG: str = "global"             # global | local (pix2pixHD LocalEnhancer)
+    n_local_enhancers: int = 1
+    n_blocks_local: int = 3
+    niter_fix_global: int = 0        # epochs training ONLY the enhancer branches
     ngf: int = 64
     n_downsample_global: int = 4
     n_blocks_global: int = 9

@@ -53,13 +53,15 @@ class GlobalGenerator(nn.Module):
     upsample_mode: str = "deconv"
     stem_s2d: int = 1
     head_s2d: int = 1
+    return_features: bool = False   # skip the head: yield (B,H,W,ngf) trunk
     dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         s = self.stem_s2d.bit_length() - 1      # log2
-        h = self.head_s2d.bit_length() - 1
-        assert 2 ** s == self.stem_s2d and 2 ** h == self.head_s2d, \
+        h = 0 if self.return_features else self.head_s2d.bit_length() - 1
+        assert 2 ** s == self.stem_s2d and (
+            self.return_features or 2 ** h == self.head_s2d), \
             "s2d factors must be powers of two"
         # clamp to what the resolution schedule supports (tiny test configs)
         s = min(s, self.n_downsampling)
@@ -86,6 +88,8 @@ class GlobalGenerator(nn.Module):
                 # conv's FLOPs) match the parity topology exactly
                 x = ConvNormRelu(feats, 3, pad_mode=self.pad_mode,
                                  dtype=self.dtype)(x)
+        if self.return_features:
+            return x          # (B, H, W, ngf) decoder features, model dtype
         x = ConvNormRelu(self.out_nc * 4 ** h, 7, use_norm=False,
                          use_relu=False, pad_mode=self.pad_mode,
                          dtype=self.dtype)(x)
@@ -95,12 +99,99 @@ class GlobalGenerator(nn.Module):
         return jnp.tanh(x) if self.final_tanh else x
 
 
+class LocalEnhancer(nn.Module):
+    """pix2pixHD LocalEnhancer (--netG local): coarse-to-fine generator for
+    high resolutions. A GlobalGenerator trunk (at 2^n_local_enhancers x
+    downsampled input, width ngf * 2^n) produces features that are summed
+    into per-level full(er)-resolution enhancer branches (stem conv +
+    stride-2 down, + trunk features, n_blocks_local ResNet blocks, upsample)
+    before the final 7x7 head. The reference's launchers only exercise
+    'global', but the forked framework ships 'local' for 1024px+ training —
+    capability parity, same class as flip/scale_width (pix2pixHD
+    networks.py lineage per README.md:101).
+    """
+    out_nc: int
+    ngf: int = 32
+    n_downsample_global: int = 4
+    n_blocks_global: int = 9
+    n_local_enhancers: int = 1
+    n_blocks_local: int = 3
+    final_tanh: bool = True
+    pad_mode: str = "reflect"
+    upsample_mode: str = "deconv"
+    stem_s2d: int = 1
+    head_s2d: int = 1
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        n = self.n_local_enhancers
+        x = x.astype(self.dtype)
+        pyramid = [x]
+        for _ in range(n):
+            pyramid.append(nn.avg_pool(pyramid[-1], (3, 3), strides=(2, 2),
+                                       padding=((1, 1), (1, 1))))
+        # coarse trunk, width ngf * 2^n, named for --niter_fix_global
+        feat = GlobalGenerator(self.out_nc, self.ngf * 2 ** n,
+                               self.n_downsample_global, self.n_blocks_global,
+                               pad_mode=self.pad_mode,
+                               upsample_mode=self.upsample_mode,
+                               stem_s2d=self.stem_s2d, head_s2d=1,
+                               return_features=True, dtype=self.dtype,
+                               name="global_trunk")(pyramid[-1])
+        for level in range(n, 0, -1):          # coarse -> fine
+            ngf_l = self.ngf * 2 ** (level - 1)
+            inp = pyramid[level - 1]
+            stem = ConvNormRelu(ngf_l, 7, pad_mode=self.pad_mode,
+                                dtype=self.dtype,
+                                name=f"enh{level}_stem")(inp)
+            down = ConvNormRelu(ngf_l * 2, 3, stride=2,
+                                pad_mode=self.pad_mode, dtype=self.dtype,
+                                name=f"enh{level}_down")(stem)
+            feat = down + feat                 # channel counts match: 2*ngf_l
+            for b in range(self.n_blocks_local):
+                feat = ResnetBlock(ngf_l * 2, pad_mode=self.pad_mode,
+                                   dtype=self.dtype,
+                                   name=f"enh{level}_block{b}")(feat)
+            feat = Upsample(ngf_l, mode=self.upsample_mode,
+                            pad_mode=self.pad_mode, dtype=self.dtype,
+                            name=f"enh{level}_up")(feat)
+        out = ConvNormRelu(self.out_nc, 7, use_norm=False, use_relu=False,
+                           pad_mode=self.pad_mode, dtype=self.dtype,
+                           name="head")(feat)
+        out = out.astype(jnp.float32)
+        return jnp.tanh(out) if self.final_tanh else out
+
+
+def make_backbone(netG: str, out_nc: int, ngf: int, n_downsampling: int,
+                  n_blocks: int, *, n_local_enhancers: int = 1,
+                  n_blocks_local: int = 3, final_tanh: bool = True,
+                  pad_mode: str = "reflect", upsample_mode: str = "deconv",
+                  stem_s2d: int = 1, head_s2d: int = 1,
+                  dtype: Dtype = jnp.float32, name: str = None):
+    """pix2pixHD define_G dispatch: 'global' | 'local'."""
+    if netG == "local":
+        return LocalEnhancer(out_nc, ngf, n_downsampling, n_blocks,
+                             n_local_enhancers, n_blocks_local,
+                             final_tanh=final_tanh, pad_mode=pad_mode,
+                             upsample_mode=upsample_mode, stem_s2d=stem_s2d,
+                             head_s2d=head_s2d, dtype=dtype, name=name)
+    assert netG == "global", f"unknown netG {netG!r} (global|local)"
+    return GlobalGenerator(out_nc, ngf, n_downsampling, n_blocks,
+                           final_tanh=final_tanh, pad_mode=pad_mode,
+                           upsample_mode=upsample_mode, stem_s2d=stem_s2d,
+                           head_s2d=head_s2d, dtype=dtype, name=name)
+
+
 class TransG(nn.Module):
     """UV/translation generator (SURVEY.md §2 #12): pose -> IUV heads."""
     n_parts: int = 24
     ngf: int = 64
     n_downsampling: int = 4
     n_blocks: int = 9
+    netG: str = "global"
+    n_local_enhancers: int = 1
+    n_blocks_local: int = 3
     stem_s2d: int = 1
     head_s2d: int = 1
     pad_mode: str = "reflect"
@@ -111,13 +202,16 @@ class TransG(nn.Module):
     def __call__(self, pose: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """pose (B,H,W,Cp) -> (part_logits (B,H,W,P+1), uv (B,H,W,P,2))."""
         out_nc = (1 + self.n_parts) + 2 * self.n_parts
-        raw = GlobalGenerator(out_nc, self.ngf, self.n_downsampling,
-                              self.n_blocks, final_tanh=False,
-                              pad_mode=self.pad_mode,
-                              upsample_mode=self.upsample_mode,
-                              stem_s2d=self.stem_s2d,
-                              head_s2d=self.head_s2d,
-                              dtype=self.dtype)(pose)
+        raw = make_backbone(self.netG, out_nc, self.ngf, self.n_downsampling,
+                            self.n_blocks,
+                            n_local_enhancers=self.n_local_enhancers,
+                            n_blocks_local=self.n_blocks_local,
+                            final_tanh=False,
+                            pad_mode=self.pad_mode,
+                            upsample_mode=self.upsample_mode,
+                            stem_s2d=self.stem_s2d,
+                            head_s2d=self.head_s2d,
+                            dtype=self.dtype)(pose)
         logits = raw[..., : 1 + self.n_parts]
         uv = raw[..., 1 + self.n_parts:]
         B, H, W = uv.shape[0], uv.shape[1], uv.shape[2]
@@ -140,6 +234,9 @@ class TexG(nn.Module):
     ngf: int = 64
     n_downsampling: int = 2
     n_blocks: int = 5
+    netG: str = "global"
+    n_local_enhancers: int = 1
+    n_blocks_local: int = 3
     stem_s2d: int = 1
     head_s2d: int = 1
     pad_mode: str = "reflect"
@@ -156,13 +253,16 @@ class TexG(nn.Module):
             import jax
             pose = jax.image.resize(
                 pose, (B, self.tile, self.tile, pose.shape[-1]), "linear")
-        out = GlobalGenerator(self.n_parts * 3, self.ngf, self.n_downsampling,
-                              self.n_blocks, final_tanh=True,
-                              pad_mode=self.pad_mode,
-                              upsample_mode=self.upsample_mode,
-                              stem_s2d=self.stem_s2d,
-                              head_s2d=self.head_s2d,
-                              dtype=self.dtype)(pose)
+        out = make_backbone(self.netG, self.n_parts * 3, self.ngf,
+                            self.n_downsampling, self.n_blocks,
+                            n_local_enhancers=self.n_local_enhancers,
+                            n_blocks_local=self.n_blocks_local,
+                            final_tanh=True,
+                            pad_mode=self.pad_mode,
+                            upsample_mode=self.upsample_mode,
+                            stem_s2d=self.stem_s2d,
+                            head_s2d=self.head_s2d,
+                            dtype=self.dtype)(pose)
         out = out.reshape(B, self.tile, self.tile, self.n_parts, 3)
         return jnp.moveaxis(out, 3, 1)    # (B, P, T, T, 3)
 

@@ -40,6 +40,9 @@ class NeuralRenderer(nn.Module):
     # BG sizing (reference: test_start/start.sh:20-21)
     bg_downs: int = 2
     bg_blocks: int = 2
+    netG: str = "global"                  # global | local (pix2pixHD define_G)
+    n_local_enhancers: int = 1
+    n_blocks_local: int = 3
     use_texg: bool = True
     use_bg: bool = True
     use_mask_texture: bool = False
@@ -74,7 +77,10 @@ class NeuralRenderer(nn.Module):
         """
         B = pose.shape[0]
         logits, uv = TransG(self.n_parts, self.transg_ngf, self.transg_downs,
-                            self.transg_blocks, stem_s2d=self.stem_s2d,
+                            self.transg_blocks, netG=self.netG,
+                            n_local_enhancers=self.n_local_enhancers,
+                            n_blocks_local=self.n_blocks_local,
+                            stem_s2d=self.stem_s2d,
                             head_s2d=self.head_s2d, pad_mode=self.pad_mode,
                             upsample_mode=self.upsample_mode,
                             dtype=self.dtype, name="TransG")(pose)
@@ -84,6 +90,9 @@ class NeuralRenderer(nn.Module):
         if self.use_texg:
             residual = TexG(self.n_parts, self.tex_tile, self.texg_ngf,
                             self.texg_downs, self.texg_blocks,
+                            netG=self.netG,
+                            n_local_enhancers=self.n_local_enhancers,
+                            n_blocks_local=self.n_blocks_local,
                             stem_s2d=self.stem_s2d, head_s2d=self.head_s2d,
                             pad_mode=self.pad_mode,
                             upsample_mode=self.upsample_mode,
@@ -126,6 +135,9 @@ def renderer_from_options(opt) -> NeuralRenderer:
         texg_ngf=opt.ngf_global,
         texg_downs=opt.n_downsample_global,
         texg_blocks=opt.n_blocks_global,
+        netG=opt.netG,
+        n_local_enhancers=opt.n_local_enhancers,
+        n_blocks_local=opt.n_blocks_local,
         bg_downs=opt.n_downsample_bg,
         bg_blocks=opt.n_blocks_bg,
         use_mask_texture=opt.use_mask_texture,

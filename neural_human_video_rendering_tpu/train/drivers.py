@@ -257,7 +257,9 @@ def run_pretrain_uv(opt, epochs: Optional[int] = None):
                              transform=pack_batch if opt.wire_pack else None)
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
     transg = TransG(opt.n_parts, opt.ngf, opt.n_downsample_translate,
-                    opt.n_blocks_translate, stem_s2d=opt.stem_s2d,
+                    opt.n_blocks_translate, netG=opt.netG,
+                    n_local_enhancers=opt.n_local_enhancers,
+                    n_blocks_local=opt.n_blocks_local, stem_s2d=opt.stem_s2d,
                     head_s2d=opt.head_s2d, pad_mode=opt.pad_mode,
                     upsample_mode=opt.upsample_mode, dtype=dtype)
     S = opt.train_size
@@ -353,6 +355,8 @@ def run_pretrain_tex(opt, epochs: Optional[int] = None):
     dtype = jnp.bfloat16 if opt.dtype == "bfloat16" else jnp.float32
     texg = TexG(opt.n_parts, opt.tex_tile, opt.ngf_global,
                 opt.n_downsample_global, opt.n_blocks_global,
+                netG=opt.netG, n_local_enhancers=opt.n_local_enhancers,
+                n_blocks_local=opt.n_blocks_local,
                 stem_s2d=opt.stem_s2d, head_s2d=opt.head_s2d,
                 pad_mode=opt.pad_mode, upsample_mode=opt.upsample_mode,
                 dtype=dtype)

@@ -40,6 +40,28 @@ class TrainState:
     pool_rng: Optional[jnp.ndarray] = None   # PRNG key
 
 
+def freeze_scope_until(scope: str, n_steps: int) -> optax.GradientTransformation:
+    """Zero gradients for every param whose path contains `scope` for the
+    first n_steps optimizer steps (pix2pixHD --niter_fix_global: with
+    --netG local, train only the enhancer branches first, then unfreeze the
+    global trunk). Placed BEFORE adam so trunk moments stay at zero while
+    frozen — unfreezing starts momentum-clean, matching pix2pixHD's
+    re-created optimizer."""
+    import flax.traverse_util as tu
+
+    def init(params):
+        return jnp.zeros((), jnp.int32)
+
+    def update(updates, count, params=None):
+        gate = (count >= n_steps).astype(jnp.float32)
+        flat = tu.flatten_dict(updates)
+        flat = {k: (v * gate if any(scope in str(p) for p in k) else v)
+                for k, v in flat.items()}
+        return tu.unflatten_dict(flat), count + 1
+
+    return optax.GradientTransformation(init, update)
+
+
 def make_optimizer(opt, steps_per_epoch: int = 0) -> optax.GradientTransformation:
     """Adam(lr, beta1, beta2) with pix2pixHD's LR schedule: constant for
     `niter` epochs then linear decay to 0 over `niter_decay` epochs
@@ -53,7 +75,13 @@ def make_optimizer(opt, steps_per_epoch: int = 0) -> optax.GradientTransformatio
             [optax.constant_schedule(opt.lr),
              optax.linear_schedule(opt.lr, 0.0, decay)],
             boundaries=[flat])
-    return optax.adam(sched, b1=opt.beta1, b2=opt.beta2)
+    tx = optax.adam(sched, b1=opt.beta1, b2=opt.beta2)
+    if (getattr(opt, "niter_fix_global", 0) > 0 and opt.netG == "local"
+            and steps_per_epoch > 0):
+        tx = optax.chain(
+            freeze_scope_until("global_trunk",
+                               opt.niter_fix_global * steps_per_epoch), tx)
+    return tx
 
 
 def build_discriminator(opt) -> MultiscaleDiscriminator:
