@@ -273,6 +273,12 @@ class BaseOptions:
         ns = self.parser.parse_args(args)
         opt = Options(**{f.name: getattr(ns, f.name) for f in dataclasses.fields(Options)})
         opt.isTrain = self.isTrain
+        if opt.debug:
+            # pix2pixHD --debug: tiny cadences + capped dataset for smoke runs
+            opt.display_freq = opt.print_freq = 1
+            opt.niter = 1
+            opt.niter_decay = 0
+            opt.max_dataset_size = min(opt.max_dataset_size, 10)
         if opt.isTrain and save:
             opt.save()
         if opt.verbose:

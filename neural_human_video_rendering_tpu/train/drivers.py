@@ -159,6 +159,18 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
             print(f"[ckpt] resumed from epoch {ep} "
                   f"(optimizer state {'restored' if saved_ep else 'fresh'})",
                   flush=True)
+    elif opt.load_pretrain and os.path.isdir(opt.load_pretrain):
+        # pix2pixHD --load_pretrain: warm-start the whole G (and D when
+        # present) from another run's checkpoints, fresh optimizers
+        g_params = ckpt.load_net(opt.load_pretrain, "G", opt.which_epoch,
+                                 state.g_params)
+        d_params = state.d_params
+        if ckpt.latest_epoch(opt.load_pretrain, "D") is not None:
+            d_params = ckpt.load_net(opt.load_pretrain, "D", opt.which_epoch,
+                                     state.d_params)
+        state = state.replace(g_params=g_params, d_params=d_params)
+        print(f"[ckpt] warm-started G/D from {opt.load_pretrain} "
+              f"@ {opt.which_epoch}", flush=True)
     elif opt.load_pretrain_TransG:
         state = state.replace(g_params=ckpt.load_transg_into(
             state.g_params, opt.load_pretrain_TransG, opt.which_epoch_TransG))

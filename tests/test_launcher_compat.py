@@ -247,3 +247,10 @@ def test_bool_flags_are_toggleable():
     with pytest.raises(SystemExit):
         TrainOptions().parse(["--use_pallas_warp", "--no_use_pallas_warp"],
                              save=False)
+
+
+def test_debug_flag_overrides_cadence():
+    opt = TrainOptions().parse(["--debug"], save=False)
+    assert opt.display_freq == 1 and opt.print_freq == 1
+    assert opt.niter == 1 and opt.niter_decay == 0
+    assert opt.max_dataset_size == 10
