@@ -138,6 +138,7 @@ class Options:
     # the inference driver)
     target_shape: str = ""
     source_shape: str = ""
+    infer_batch: int = 8             # frames per compiled inference batch
     save_video: bool = False         # also assemble {results_dir}/video.mp4
     video_fps: float = 25.0
 

@@ -49,12 +49,14 @@ def _target_canvas(opt) -> Optional[tuple]:
     return None
 
 
-def run_inference(opt, batch_size: int = 4,
+def run_inference(opt, batch_size: Optional[int] = None,
                   max_frames: Optional[int] = None) -> int:
     """Render the driving sequence; returns number of frames written."""
     # model canvas: train_size (= fineSize under crop modes) — the shapes
     # create_train_state/build_pose_input were built with (ADVICE r1 #3)
     S = opt.train_size
+    if batch_size is None:
+        batch_size = max(1, opt.infer_batch)
 
     # driving keypoints (+ optional alignment to the target person)
     names, joints = kp.load_pose_dir(opt.pose_path)
