@@ -29,12 +29,31 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
 class _Model:
+    """Deserialized artifact + (optionally) its weight sidecar.
+
+    With a `<model>.params` sidecar (export_serving.py default), the
+    weights are loaded once, device_put once, and passed by reference on
+    every call — the artifact itself stays small. Without a sidecar the
+    artifact is self-contained (--bake_weights)."""
+
     def __init__(self, path: str):
+        import os
+
         import numpy as np
         from jax import export as jexport
         with open(path, "rb") as f:
             self.exported = jexport.deserialize(bytearray(f.read()))
-        self.in_shape = tuple(self.exported.in_avals[0].shape)   # (B, 18, 3)
+        self.params = None
+        sidecar = path + ".params"
+        if os.path.isfile(sidecar):
+            import jax
+            import flax.serialization as fser
+            with open(sidecar, "rb") as f:
+                restored = fser.msgpack_restore(f.read())
+            self.params = jax.device_put(restored)   # resident once
+            print(f"[serve] weights sidecar loaded: {sidecar}", flush=True)
+        # joints input is the last positional argument
+        self.in_shape = tuple(self.exported.in_avals[-1].shape)  # (B, 18, 3)
         self.batch = self.in_shape[0]
         self.out_shape = tuple(self.exported.out_avals[0].shape)
         self.lock = threading.Lock()
@@ -51,7 +70,10 @@ class _Model:
         if n < self.batch:
             padded[n:] = joints[-1]
         with self.lock:
-            out = self.exported.call(padded)
+            if self.params is not None:
+                out = self.exported.call(self.params, padded)
+            else:
+                out = self.exported.call(padded)
         return np.asarray(out)[:n]
 
 

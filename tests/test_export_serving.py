@@ -1,21 +1,20 @@
 """Serving export: the StableHLO artifact round-trips and reproduces the
-live forward exactly (tools/export_serving.py)."""
+live forward exactly, in both weight modes (tools/export_serving.py)."""
 
 import dataclasses
-import subprocess
 import sys
 
 import numpy as np
 import pytest
 
 
-def test_export_roundtrip_matches_live_forward(tiny_opt):
+def test_export_roundtrip_baked_weights(tiny_opt):
     jexport = pytest.importorskip("jax.export")
     sys.path.insert(0, "/root/repo/tools")
     import export_serving as es
 
     opt = dataclasses.replace(tiny_opt, use_pallas_warp=False)
-    exported, joints = es.build_exported(opt, batch=2)
+    exported, joints, _ = es.build_exported(opt, batch=2, bake_weights=True)
     blob = exported.serialize()
     assert len(blob) > 1000
 
@@ -27,3 +26,32 @@ def test_export_roundtrip_matches_live_forward(tiny_opt):
     # matches the original Exported's own call bit-for-bit
     ref = np.asarray(exported.call(joints))
     np.testing.assert_array_equal(out, ref)
+
+
+def test_export_params_as_arguments(tiny_opt, tmp_path):
+    """Default mode: small program + weight sidecar; identical output to
+    the baked artifact."""
+    jexport = pytest.importorskip("jax.export")
+    sys.path.insert(0, "/root/repo/tools")
+    import flax.serialization as fser
+    import export_serving as es
+
+    opt = dataclasses.replace(tiny_opt, use_pallas_warp=False)
+    baked, joints, _ = es.build_exported(opt, batch=2, bake_weights=True)
+    out_path = str(tmp_path / "m.jaxexport")
+    es.save_artifact(opt, 2, out_path, bake_weights=False)
+
+    import os
+    assert os.path.isfile(out_path + ".params")
+    # the program itself is much smaller than the weights it consumes
+    assert os.path.getsize(out_path) < os.path.getsize(out_path + ".params")
+
+    with open(out_path, "rb") as f:
+        restored = jexport.deserialize(bytearray(f.read()))
+    with open(out_path + ".params", "rb") as f:
+        params = fser.msgpack_restore(f.read())
+    out = np.asarray(restored.call(params, np.asarray(joints)))
+    ref = np.asarray(baked.call(joints))
+    # constant-folded (baked) vs runtime-argument weights fuse differently;
+    # agreement is float-rounding level
+    np.testing.assert_allclose(out, ref, atol=1e-5)

@@ -14,15 +14,15 @@ import pytest
 @pytest.mark.slow
 def test_serve_roundtrip(tiny_opt, tmp_path):
     import cv2
-    from tools.export_serving import build_exported
+    from tools.export_serving import build_exported, save_artifact
     import serve as srv
 
     opt = dataclasses.replace(tiny_opt, name="srv",
                               checkpoints_dir=str(tmp_path))
-    exported, joints = build_exported(opt, batch=2)
+    exported, joints, _ = build_exported(opt, batch=2, bake_weights=True)
     model_path = str(tmp_path / "m.jaxexport")
-    with open(model_path, "wb") as f:
-        f.write(exported.serialize())
+    # production layout: small program + weight sidecar
+    save_artifact(opt, 2, model_path, bake_weights=False)
 
     httpd = srv.serve(model_path, port=0)    # ephemeral port
     t = threading.Thread(target=httpd.serve_forever, daemon=True)

@@ -4,14 +4,24 @@ StableHLO artifact for serving.
 
 Captures the whole jitted pipeline — on-device pose rasterization, TransG,
 TexG, texture warp, BG composite — as one portable `jax.export` artifact
-(checkpoint weights baked in as constants) that a serving runtime can
-deserialize and call without the model code:
+that a serving runtime can deserialize and call without the model code:
 
     python tools/export_serving.py --name run --checkpoints_dir ckpts \
         --which_epoch 30 --batch 8 --out model.jaxexport [sizing flags]
 
+Two weight modes:
+  default        weights are ARGUMENTS: the program is small (relay/proxy
+                 friendly) and the checkpoint ships as a `<out>.params`
+                 msgpack sidecar that the server device_puts ONCE at
+                 startup — production layout (serve.py).
+  --bake_weights weights baked into the artifact as constants: one
+                 self-contained file, but the program carries the full
+                 parameter set (hundreds of MB at reference sizing; some
+                 compile proxies reject it).
+
 Reload anywhere:  exported = jax.export.deserialize(blob)
-                  frame = exported.call(joints)   # (B,18,3) -> (B,S,S,3)
+                  frame = exported.call(params, joints)   # default mode
+                  frame = exported.call(joints)           # --bake_weights
 """
 
 import argparse
@@ -23,8 +33,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_exported(opt, batch: int):
-    """Returns (jax.export.Exported, example joints array)."""
+def build_exported(opt, batch: int, bake_weights: bool = True):
+    """Returns (jax.export.Exported, example joints, g_params).
+
+    bake_weights=True: artifact closes over the weights; call(joints).
+    bake_weights=False: call(g_params, joints); save g_params separately.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -48,7 +62,7 @@ def build_exported(opt, batch: int):
     g_params = state.g_params
     if os.path.isdir(opt.run_dir) and ckpt.latest_epoch(opt.run_dir, "G"):
         g_params = ckpt.load_net(opt.run_dir, "G", opt.which_epoch, g_params)
-        print(f"[export] baked G epoch {opt.which_epoch} from {opt.run_dir}",
+        print(f"[export] G epoch {opt.which_epoch} from {opt.run_dir}",
               file=sys.stderr)
     else:
         print("[export] no checkpoint found -> random-init weights",
@@ -57,16 +71,44 @@ def build_exported(opt, batch: int):
     renderer = bundle["renderer"]
     assets = (state.static_tex, state.bg, state.tex_mask)
 
-    def serve(joints):
+    def serve_with_params(params, joints):
         static_tex, bg_a, tex_mask = assets
         pose = build_pose_input(opt, joints, None)
-        outs = renderer.apply({"params": g_params}, pose, bg_a[None],
+        outs = renderer.apply({"params": params}, pose, bg_a[None],
                               static_tex[None], tex_mask)
         return outs["fake"]
 
     joints = jnp.asarray(np.stack([ds[i]["joints"] for i in range(batch)]))
-    exported = jexport.export(jax.jit(serve))(joints)
-    return exported, joints
+    if bake_weights:
+        exported = jexport.export(jax.jit(
+            lambda j: serve_with_params(g_params, j)))(joints)
+    else:
+        exported = jexport.export(jax.jit(serve_with_params))(g_params, joints)
+    return exported, joints, g_params
+
+
+def save_artifact(opt, batch: int, out_path: str,
+                  bake_weights: bool = False) -> int:
+    """Export + write; returns total bytes written."""
+    import flax.serialization as fser
+
+    exported, joints, g_params = build_exported(opt, batch,
+                                                bake_weights=bake_weights)
+    blob = exported.serialize()
+    with open(out_path, "wb") as f:
+        f.write(blob)
+    total = len(blob)
+    if not bake_weights:
+        pblob = fser.to_bytes(g_params)
+        with open(out_path + ".params", "wb") as f:
+            f.write(pblob)
+        total += len(pblob)
+        print(f"[export] params sidecar {out_path}.params "
+              f"({len(pblob) / 1e6:.1f} MB)", file=sys.stderr)
+    print(f"wrote {out_path} ({len(blob) / 1e6:.1f} MB), input joints"
+          f"{tuple(joints.shape)} -> frame "
+          f"({batch}, {opt.train_size}, {opt.train_size}, 3)")
+    return total
 
 
 def main():
@@ -74,18 +116,13 @@ def main():
     p = argparse.ArgumentParser(conflict_handler="resolve")
     p.add_argument("--out", required=True)
     p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--bake_weights", action="store_true",
+                   help="bake weights into the artifact (self-contained, big)")
     _add_flags(p)
     a = p.parse_args()
     opt = Options(**{f.name: getattr(a, f.name)
                      for f in dataclasses.fields(Options) if hasattr(a, f.name)})
-
-    exported, joints = build_exported(opt, a.batch)
-    blob = exported.serialize()
-    with open(a.out, "wb") as f:
-        f.write(blob)
-    print(f"wrote {a.out} ({len(blob) / 1e6:.1f} MB), "
-          f"input joints{tuple(joints.shape)} -> frame "
-          f"({a.batch}, {opt.train_size}, {opt.train_size}, 3)")
+    save_artifact(opt, a.batch, a.out, bake_weights=a.bake_weights)
 
 
 if __name__ == "__main__":
