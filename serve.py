@@ -60,7 +60,10 @@ class _Model:
         self.np = np
 
     def render(self, joints):
-        """(N,18,3) ndarray, N <= batch -> (N,S,S,3) float in [-1,1]."""
+        """(N,18,3) ndarray, N <= batch -> (N,S,S,3).
+
+        uint8 [0,255] for export_serving's default on-device-quantized
+        artifacts, float [-1,1] for --raw_float ones."""
         np = self.np
         n = joints.shape[0]
         if n > self.batch:
@@ -80,7 +83,10 @@ class _Model:
 def _png_b64(frame) -> str:
     import cv2
     import numpy as np
-    img = ((np.clip(frame, -1, 1) + 1) * 127.5).astype(np.uint8)
+    if frame.dtype == np.uint8:          # quantized on device already
+        img = frame
+    else:
+        img = ((np.clip(frame, -1, 1) + 1) * 127.5).astype(np.uint8)
     ok, buf = cv2.imencode(".png", cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
     assert ok
     return base64.b64encode(buf.tobytes()).decode("ascii")

@@ -133,3 +133,44 @@ def test_topk_kernel_matches_dense_weights():
         got = np.asarray(_topk_call(
             fg.reshape(B, P, N // 1024, 8, 128), k, cap)).reshape(B, P, N)
         np.testing.assert_array_equal(got, ref, err_msg=f"k={k} cap={cap}")
+
+
+def test_small_tile_pad_rescale_is_exact():
+    """Sub-128 tiles ride the kernel via zero-pad + UV rescale (dispatch);
+    under align_corners sampling the transform is exact up to float
+    rounding (u*(63/127)*127 vs u*63): padded texels only ever get
+    bilinear weight ~0. Verified against the tile-64 reference,
+    values and all three gradients (chain rule through pad/rescale)."""
+    from neural_human_video_rendering_tpu.ops.grid_sample import (
+        texture_warp_reference)
+    from neural_human_video_rendering_tpu.ops.pallas_warp2 import _TILE
+
+    tex, uv, probs = _inputs(T=64, seed=7)
+    ref = texture_warp_reference(tex, uv, probs)
+
+    def padded(fn, t, u, p):
+        pad = _TILE - t.shape[2]
+        tp = jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, pad), (0, 0)))
+        up = u * ((t.shape[2] - 1) / (_TILE - 1))
+        return fn(tp, up, p)
+
+    out = padded(texture_warp_reference, tex, uv, probs)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    # the kernel itself on the padded inputs (interpret mode off-TPU)
+    k = tex.shape[1]
+    out_k = padded(lambda t, u, p: texture_warp_pallas(t, u, p, k),
+                   tex, uv, probs)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), atol=1e-5)
+
+    def loss(fn):
+        return lambda t, u, p: jnp.mean(fn(t, u, p) ** 2)
+
+    gr = jax.grad(loss(texture_warp_reference), argnums=(0, 1, 2))(
+        tex, uv, probs)
+    gp = jax.grad(loss(lambda t, u, p: padded(
+        lambda tp, up, pp: texture_warp_pallas(tp, up, pp, k), t, u, p)),
+        argnums=(0, 1, 2))(tex, uv, probs)
+    for name, a, b in zip(("dtex", "duv", "dprobs"), gr, gp):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5,
+                                   err_msg=name)

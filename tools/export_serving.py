@@ -33,11 +33,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
 
-def build_exported(opt, batch: int, bake_weights: bool = True):
+def build_exported(opt, batch: int, bake_weights: bool = True,
+                   out_uint8: bool = False):
     """Returns (jax.export.Exported, example joints, g_params).
 
     bake_weights=True: artifact closes over the weights; call(joints).
     bake_weights=False: call(g_params, joints); save g_params separately.
+    out_uint8=True: quantize frames to uint8 ON DEVICE — 4x less
+    device->host traffic per frame, which bounds serving throughput on
+    bandwidth-limited links (and saves PCIe/DMA on any host).
+    When opt.dtype is bfloat16 the sidecar params are stored/served in
+    bf16 too (the model computes in bf16 anyway): half the startup upload.
     """
     import jax
     import jax.numpy as jnp
@@ -71,12 +77,24 @@ def build_exported(opt, batch: int, bake_weights: bool = True):
     renderer = bundle["renderer"]
     assets = (state.static_tex, state.bg, state.tex_mask)
 
+    if opt.dtype == "bfloat16":
+        # the model casts params to bf16 at every use anyway; shipping
+        # them as bf16 halves the sidecar and the one-time startup upload
+        g_params = jax.tree.map(
+            lambda x: x.astype(jnp.bfloat16)
+            if x.dtype == jnp.float32 else x, g_params)
+
     def serve_with_params(params, joints):
         static_tex, bg_a, tex_mask = assets
         pose = build_pose_input(opt, joints, None)
         outs = renderer.apply({"params": params}, pose, bg_a[None],
                               static_tex[None], tex_mask)
-        return outs["fake"]
+        fake = outs["fake"]
+        if out_uint8:
+            fake = jnp.round(
+                (jnp.clip(fake.astype(jnp.float32), -1.0, 1.0) + 1.0)
+                * 127.5).astype(jnp.uint8)
+        return fake
 
     joints = jnp.asarray(np.stack([ds[i]["joints"] for i in range(batch)]))
     if bake_weights:
@@ -88,12 +106,14 @@ def build_exported(opt, batch: int, bake_weights: bool = True):
 
 
 def save_artifact(opt, batch: int, out_path: str,
-                  bake_weights: bool = False) -> int:
+                  bake_weights: bool = False,
+                  out_uint8: bool = True) -> int:
     """Export + write; returns total bytes written."""
     import flax.serialization as fser
 
     exported, joints, g_params = build_exported(opt, batch,
-                                                bake_weights=bake_weights)
+                                                bake_weights=bake_weights,
+                                                out_uint8=out_uint8)
     blob = exported.serialize()
     with open(out_path, "wb") as f:
         f.write(blob)
@@ -118,11 +138,15 @@ def main():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--bake_weights", action="store_true",
                    help="bake weights into the artifact (self-contained, big)")
+    p.add_argument("--raw_float", action="store_true",
+                   help="emit float frames instead of on-device uint8 "
+                        "(uint8 = 4x less device->host traffic)")
     _add_flags(p)
     a = p.parse_args()
     opt = Options(**{f.name: getattr(a, f.name)
                      for f in dataclasses.fields(Options) if hasattr(a, f.name)})
-    save_artifact(opt, a.batch, a.out, bake_weights=a.bake_weights)
+    save_artifact(opt, a.batch, a.out, bake_weights=a.bake_weights,
+                  out_uint8=not a.raw_float)
 
 
 if __name__ == "__main__":
