@@ -87,6 +87,60 @@ def save_train_state(run_dir: str, state: Any, epoch) -> str:
     return path
 
 
+def _tolerant_from_state_dict(target: Any, raw: Any, label: str) -> Any:
+    """from_state_dict that survives optimizer-structure drift.
+
+    Resuming with a different LR schedule than the checkpoint was written
+    with (e.g. --no_decay run continued WITH decay) changes the optax
+    state tree (ScaleByScheduleState gains/loses a `count`). Restore every
+    leaf whose path+shape still matches; keep fresh init for the rest and
+    say so — same spirit as pix2pixHD's loose network loads."""
+    try:
+        return fser.from_state_dict(target, raw)
+    except ValueError:
+        pass
+
+    dropped = []
+
+    def merge(t, r, path):
+        if isinstance(t, dict):
+            if not isinstance(r, dict):
+                dropped.append(path or "/")
+                return t
+            return {k: merge(v, r[k], f"{path}/{k}") if k in r else v
+                    for k, v in t.items()}
+        ra = np.asarray(r) if r is not None else None
+        ta = np.asarray(t) if t is not None else None
+        if ra is not None and ta is not None and ra.shape == ta.shape:
+            return ra.astype(ta.dtype)
+        dropped.append(path or "/")
+        return t
+
+    merged = merge(fser.to_state_dict(target), raw, "")
+    if dropped:
+        print(f"[ckpt] {label}: optimizer structure changed; kept fresh "
+              f"init for {len(dropped)} subtree(s) (schedule change?)")
+    return fser.from_state_dict(target, merged)
+
+
+def _stamp_schedule_counts(opt_state: Any, step: int) -> Any:
+    """Any schedule whose count is still 0 after a resume at step>0 gets
+    fast-forwarded to the global step, so an LR schedule added on resume
+    starts from the checkpoint's position instead of from scratch."""
+    import optax
+
+    def fix(node):
+        if isinstance(node, optax.ScaleByScheduleState) and step > 0 \
+                and int(node.count) == 0:
+            return optax.ScaleByScheduleState(
+                count=np.asarray(step, dtype=np.asarray(node.count).dtype))
+        return node
+
+    return jax.tree.map(
+        fix, opt_state,
+        is_leaf=lambda n: isinstance(n, optax.ScaleByScheduleState))
+
+
 def load_train_state(run_dir: str, state: Any):
     """Restore optimizer states + step into `state`; returns
     (state, saved_epoch) or (state, None) when no state blob exists."""
@@ -95,9 +149,12 @@ def load_train_state(run_dir: str, state: Any):
         return state, None
     with open(path, "rb") as f:
         raw = fser.msgpack_restore(f.read())
-    g_opt = fser.from_state_dict(state.g_opt, raw["g_opt"])
-    d_opt = fser.from_state_dict(state.d_opt, raw["d_opt"])
-    state = state.replace(g_opt=g_opt, d_opt=d_opt, step=int(raw["step"]))
+    step = int(raw["step"])
+    g_opt = _tolerant_from_state_dict(state.g_opt, raw["g_opt"], "g_opt")
+    d_opt = _tolerant_from_state_dict(state.d_opt, raw["d_opt"], "d_opt")
+    g_opt = _stamp_schedule_counts(g_opt, step)
+    d_opt = _stamp_schedule_counts(d_opt, step)
+    state = state.replace(g_opt=g_opt, d_opt=d_opt, step=step)
     return state, int(raw["epoch"])
 
 

@@ -114,3 +114,52 @@ def test_load_pretrain_warm_start(tiny_opt, tmp_path):
     dist = sum(float(jnp.sum((a - b) ** 2)) for a, b in zip(flatA, flatB))
     norm = sum(float(jnp.sum(a ** 2)) for a in flatA)
     assert dist < 0.5 * norm
+
+
+def test_resume_across_schedule_change(tmp_path):
+    """A --no_decay checkpoint resumes into a decay-schedule optimizer:
+    Adam moments restore, the fresh ScaleByScheduleState is fast-forwarded
+    to the saved step (so the added LR schedule starts from the
+    checkpoint's position, not from scratch)."""
+    import optax
+    from neural_human_video_rendering_tpu.train.state import TrainState
+
+    d = str(tmp_path)
+    p = _params()
+    tx_const = optax.adam(1e-3)                       # no_decay structure
+    st = TrainState(step=0, g_params=p, d_params=p,
+                    g_opt=tx_const.init(p), d_opt=tx_const.init(p),
+                    static_tex=jnp.zeros((1,)), bg=jnp.zeros((1,)),
+                    tex_mask=None)
+    grads = jax.tree.map(jnp.ones_like, p)
+    ups, g_opt = tx_const.update(grads, st.g_opt, p)
+    st = st.replace(step=42, g_opt=g_opt,
+                    g_params=optax.apply_updates(p, ups))
+    ckpt.save_train_state(d, st, 6)
+
+    sched = optax.join_schedules(
+        [optax.constant_schedule(1e-3),
+         optax.linear_schedule(1e-3, 0.0, 100)], boundaries=[50])
+    tx_decay = optax.adam(sched)                      # decay structure
+    fresh = TrainState(step=0, g_params=p, d_params=p,
+                       g_opt=tx_decay.init(p), d_opt=tx_decay.init(p),
+                       static_tex=jnp.zeros((1,)), bg=jnp.zeros((1,)),
+                       tex_mask=None)
+    restored, epoch = ckpt.load_train_state(d, fresh)
+    assert epoch == 6 and int(restored.step) == 42
+    # Adam moments carried over
+    m_saved = jax.tree.leaves(st.g_opt)[0]
+    m_rest = jax.tree.leaves(restored.g_opt)[0]
+    np.testing.assert_allclose(np.asarray(m_rest), np.asarray(m_saved))
+    # schedule count fast-forwarded to the global step
+    counts = [int(np.asarray(s.count)) for s in
+              jax.tree.leaves(restored.g_opt,
+                              is_leaf=lambda n: isinstance(
+                                  n, optax.ScaleByScheduleState))
+              if isinstance(s, optax.ScaleByScheduleState)]
+    assert counts and all(c == 42 for c in counts)
+    # and the reverse direction (decay ckpt -> no_decay run) also loads
+    ckpt.save_train_state(d, restored, 7)
+    back, epoch2 = ckpt.load_train_state(
+        d, st.replace(g_opt=tx_const.init(p), d_opt=tx_const.init(p)))
+    assert epoch2 == 7
