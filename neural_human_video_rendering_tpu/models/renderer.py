@@ -48,7 +48,7 @@ class NeuralRenderer(nn.Module):
     use_mask_texture: bool = False
     use_pallas: bool = True
     warp_k: int = 4
-    warp_block_parts: int = 8
+    warp_block_parts: int = 0
     stem_s2d: int = 1
     head_s2d: int = 1
     bg_s2d: int = 1

@@ -61,13 +61,17 @@ def _topk_dense_weights(fg: jnp.ndarray, k: int,
 
     block_parts > 0 additionally caps how many parts stay active per
     (batch, 1024-pixel kernel block): parts below the block's top-
-    `block_parts` total mass are zeroed. Per-pixel top-k already bounds the
-    blend; this bounds the *kernel's* per-block part loop, which otherwise
-    degenerates to all P parts early in training while part probabilities
-    are still near-uniform (spatially incoherent top-k). Once probabilities
-    peak — i.e. for any usable checkpoint — blocks activate far fewer than
-    `block_parts` parts and the cap selects exactly the same parts as plain
-    top-k.
+    `block_parts` total mass are zeroed. This is a LOSSY approximation: it
+    is exact only when each 1024-pixel block genuinely touches <=
+    `block_parts` parts, i.e. when part probabilities are *spatially
+    coherent* (pixels near each other pick the same parts). Measured on
+    TPU (2026-08-17): with spatially incoherent probs — random-peaked or
+    near-uniform, which is exactly the regime of early/ongoing training —
+    the cap zeroes most pixels' weights (forward maxdiff ~1.0 vs the exact
+    top-k, duv grads off by 1e2). A resumed 512px training run collapsed
+    PSNR 28->19 within one epoch under block_parts=8. Default is therefore
+    0 (exact); >0 is an inference-only opt-in for checkpoints whose part
+    maps are verified coherent.
     """
     P = fg.shape[1]
     k = min(k, P)

@@ -112,6 +112,33 @@ def test_block_part_cap_keeps_top_mass_parts():
         assert active == top2
 
 
+def test_block_part_cap_defaults_off():
+    """The block cap is lossy on spatially incoherent part maps (it zeroes
+    every part below a block's top-`block_parts` mass), which is exactly
+    the regime of training — a resumed 512px run collapsed PSNR 28->19
+    under block_parts=8 (2026-08-17). It must therefore be opt-in."""
+    from neural_human_video_rendering_tpu.config import Options
+    from neural_human_video_rendering_tpu.models.renderer import NeuralRenderer
+    assert Options().warp_block_parts == 0
+    assert NeuralRenderer.warp_block_parts == 0
+
+
+def test_block_part_cap_is_lossy_on_incoherent_probs():
+    """Documents WHY the cap defaults off: peaked but spatially random
+    part maps lose most of their mass under block_parts < P."""
+    from neural_human_video_rendering_tpu.ops.pallas_warp2 import (
+        _topk_dense_weights)
+    rng = np.random.RandomState(7)
+    B, P, N = 1, 24, 1024  # one kernel block touching all 24 parts
+    lg = rng.randn(B, N, P + 1).astype(np.float32) * 8.0  # peaked
+    probs = np.exp(lg) / np.exp(lg).sum(-1, keepdims=True)
+    fg = jnp.asarray(np.moveaxis(probs[..., 1:], -1, 1))
+    w_exact = np.asarray(_topk_dense_weights(fg, 4, block_parts=0))
+    w_cap = np.asarray(_topk_dense_weights(fg, 4, block_parts=8))
+    lost = 1.0 - w_cap.sum() / w_exact.sum()
+    assert lost > 0.3, lost  # the cap silently drops >30% of blend mass
+
+
 def test_dispatcher_uses_pallas_on_supported_shapes(monkeypatch):
     from neural_human_video_rendering_tpu.ops import pallas_warp as pw
     tex, uv, probs = _inputs()

@@ -36,14 +36,18 @@ def main():
 
     failures = 0
 
-    def check(name, a, b, atol):
+    def check(name, a, b, atol, rtol=0.0):
+        # tolerance is atol + rtol*max|b|: accumulation-heavy grads (dtex
+        # sums hundreds of per-pixel contributions in implementation-
+        # dependent order) carry absolute error proportional to magnitude
         nonlocal failures
-        d = float(jnp.max(jnp.abs(a.astype(jnp.float32)
-                                  - b.astype(jnp.float32))))
-        ok = d <= atol
+        bf = b.astype(jnp.float32)
+        d = float(jnp.max(jnp.abs(a.astype(jnp.float32) - bf)))
+        tol = atol + rtol * float(jnp.max(jnp.abs(bf)))
+        ok = d <= tol
         failures += 0 if ok else 1
         print(f"{'PASS' if ok else 'FAIL'}  {name}: maxdiff {d:.3e} "
-              f"(atol {atol})")
+              f"(tol {tol:.3e})")
 
     key = jax.random.PRNGKey(0)
     B, P, T, H, W, C = 2, 24, 128, 128, 128, 3
@@ -70,6 +74,60 @@ def main():
     gk = jax.jit(jax.grad(loss_ker, argnums=(0, 1, 2)))(tex, uv, probs)
     for name, a, b in zip(("dtex", "duv", "dprobs"), gk, gr):
         check(f"warp bwd {name}", a, b, 5e-3)
+
+    # sub-128 tile via the dispatch pad-to-128 path (the tile-64 quality
+    # config): compiled forward + all gradients vs the unpadded reference
+    from neural_human_video_rendering_tpu.ops.pallas_warp import texture_warp
+    T64 = 64
+    tex64 = jax.random.uniform(k1, (B, P, T64, T64, C), jnp.float32)
+    # boundary-safe uv: the pad-to-128 dispatch rescales uv by
+    # (T-1)/127 before the kernel multiplies by 127; float rounding can
+    # flip floor() when u*(T-1) sits within eps of an integer texel —
+    # forward is continuous there but duv is not, so random uv produces
+    # spurious large grad diffs. Keep every sample >=0.05 texel away
+    # from integer boundaries: rounding error (~1e-5) can't flip cells.
+    cell = jax.random.randint(k2, (B, H, W, P, 2), 0, T64 - 1)
+    frac = 0.05 + 0.9 * jax.random.uniform(k3, (B, H, W, P, 2))
+    uv64 = (cell.astype(jnp.float32) + frac) / (T64 - 1)
+    ref64 = jax.jit(gs.texture_warp_reference)(tex64, uv64, probs)
+    out64 = jax.jit(lambda t, u, p: texture_warp(t, u, p, True, P, 0))(
+        tex64, uv64, probs)
+    check("warp fwd tile64 padded (k=P)", out64, ref64, 2e-5)
+
+    def loss_ref64(t, u, p):
+        return jnp.sum(gs.texture_warp_reference(t, u, p) ** 2)
+
+    def loss_ker64(t, u, p):
+        return jnp.sum(texture_warp(t, u, p, True, P, 0) ** 2)
+
+    gr64 = jax.jit(jax.grad(loss_ref64, argnums=(0, 1, 2)))(tex64, uv64, probs)
+    gk64 = jax.jit(jax.grad(loss_ker64, argnums=(0, 1, 2)))(tex64, uv64, probs)
+    for name, a, b in zip(("dtex", "duv", "dprobs"), gk64, gr64):
+        check(f"warp bwd tile64 padded {name}", a, b, 5e-3)
+
+    # the actual training configuration: per-pixel top-k=4, NO block cap,
+    # padded tile-64 — all gradients vs the XLA top-k path (this is the
+    # exact path the 512px quality runs train through; the bp=8 block cap
+    # was demoted to opt-in after it collapsed a resumed run, see
+    # ops/pallas_warp2.py:_topk_dense_weights docstring)
+    probs_pk = jax.nn.softmax(
+        8.0 * jax.random.normal(k3, (B, H, W, P + 1)), -1)
+
+    def loss_xla4(t, u, p):
+        return jnp.sum(gs.texture_warp_topk(t, u, p, 4) ** 2)
+
+    def loss_ker4(t, u, p):
+        return jnp.sum(texture_warp(t, u, p, True, 4, 0) ** 2)
+
+    out4 = jax.jit(lambda t, u, p: texture_warp(t, u, p, True, 4, 0))(
+        tex64, uv64, probs_pk)
+    ref4 = jax.jit(lambda t, u, p: gs.texture_warp_topk(t, u, p, 4))(
+        tex64, uv64, probs_pk)
+    check("warp fwd tile64 k=4 bp=0", out4, ref4, 2e-5)
+    gr4 = jax.jit(jax.grad(loss_xla4, argnums=(0, 1, 2)))(tex64, uv64, probs_pk)
+    gk4 = jax.jit(jax.grad(loss_ker4, argnums=(0, 1, 2)))(tex64, uv64, probs_pk)
+    for name, a, b in zip(("dtex", "duv", "dprobs"), gk4, gr4):
+        check(f"warp bwd tile64 k=4 bp=0 {name}", a, b, 5e-3, rtol=1e-3)
 
     # flow warp vs jnp reference
     img = jax.random.uniform(k1, (B, H, W, C), jnp.float32)
