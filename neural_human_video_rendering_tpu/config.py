@@ -77,8 +77,17 @@ class Options:
     n_blocks_bg: int = 2
     TexG: str = "part"
     use_mask_texture: bool = False
-    instance_feat: bool = False      # accepted for compat; no-op (no instance maps)
+    # pix2pixHD encoder E (networks.define_E lineage; flag evidence
+    # test_start/start.sh:23). The human-video contract has no object
+    # instance maps, so the region map is the DensePose part map —
+    # either flag engages the same part-wise feature path (FeatEncoder).
+    instance_feat: bool = False
     label_feat: bool = False
+    feat_num: int = 3                # appearance-code channels (pix2pixHD default)
+    nef: int = 16                    # encoder E width (pix2pixHD default)
+    n_downsample_E: int = 4          # encoder E depth (pix2pixHD default)
+    load_features: str = ""          # .npz of per-part cluster codes for inference (tools/encode_features.py)
+    cluster_idx: int = 0             # which cluster center to render with
 
     # ---- discriminator ----
     num_D: int = 2

@@ -134,7 +134,20 @@ def run_inference(opt, batch_size: Optional[int] = None,
     def put_batch(x):
         return jax.device_put(x, batch_sharding(mesh)) if mesh is not None else x
 
-    fwd = make_forward_fn(opt, bundle["renderer"])
+    cluster_feats = None
+    if bundle["renderer"].use_feat:
+        if opt.load_features and os.path.isfile(opt.load_features):
+            import numpy as _np
+            centers = _np.load(opt.load_features)["centers"]
+            cluster_feats = centers[min(opt.cluster_idx, len(centers) - 1)]
+            print(f"[feat] cluster {opt.cluster_idx} codes from "
+                  f"{opt.load_features}", flush=True)
+        else:
+            print("[feat] --instance_feat/--label_feat without "
+                  "--load_features: rendering with ZERO appearance codes "
+                  "(run tools/encode_features.py to build codes)",
+                  flush=True)
+    fwd = make_forward_fn(opt, bundle["renderer"], cluster_feats)
     os.makedirs(opt.results_dir, exist_ok=True)
     gallery = HTMLGallery(opt.results_dir, f"{opt.name} @ {opt.which_epoch}")
     written = 0

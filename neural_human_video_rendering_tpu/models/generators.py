@@ -267,6 +267,55 @@ class TexG(nn.Module):
         return jnp.moveaxis(out, 3, 1)    # (B, P, T, T, 3)
 
 
+def part_pool(fmap: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """Region-wise average pooling, pix2pixHD Encoder semantics.
+
+    fmap (B,H,W,F) features, onehot (B,H,W,C) region one-hots ->
+    (B,H,W,F): every pixel receives the mean feature of its region.
+    Formulated as three einsums (MXU contractions) instead of pix2pixHD's
+    per-instance Python loop — jit-able, static shapes, no host sync.
+    """
+    s = jnp.einsum("bhwc,bhwf->bcf", onehot, fmap)
+    n = jnp.einsum("bhwc->bc", onehot)
+    mean = s / (n[..., None] + 1e-6)
+    return jnp.einsum("bhwc,bcf->bhwf", onehot, mean)
+
+
+class FeatEncoder(nn.Module):
+    """pix2pixHD Encoder E (--instance_feat / --label_feat, networks.define_E
+    lineage per README.md:101; flag evidence: test_start/start.sh:23).
+
+    c7s1-nef, n_downsample_E stride-2 convs, mirrored upsamples, c7s1-
+    feat_num head with tanh. The caller pools the output per region
+    (part_pool) so the generator receives one appearance code per region —
+    in this pipeline the "instance map" is the DensePose 24-part body-part
+    map (the human-video data contract has no object-instance maps), a
+    documented adaptation of pix2pixHD's instance-wise feature encoding.
+    """
+    feat_num: int = 3
+    nef: int = 16
+    n_downsampling: int = 4
+    pad_mode: str = "reflect"
+    upsample_mode: str = "deconv"
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, img: jnp.ndarray) -> jnp.ndarray:
+        x = img.astype(self.dtype)
+        x = ConvNormRelu(self.nef, 7, pad_mode=self.pad_mode,
+                         dtype=self.dtype)(x)
+        for i in range(self.n_downsampling):
+            x = ConvNormRelu(self.nef * 2 ** (i + 1), 3, stride=2,
+                             pad_mode=self.pad_mode, dtype=self.dtype)(x)
+        for i in range(self.n_downsampling):
+            x = Upsample(self.nef * 2 ** (self.n_downsampling - i - 1),
+                         mode=self.upsample_mode, pad_mode=self.pad_mode,
+                         dtype=self.dtype)(x)
+        x = ConvNormRelu(self.feat_num, 7, use_norm=False, use_relu=False,
+                         pad_mode=self.pad_mode, dtype=self.dtype)(x)
+        return jnp.tanh(x.astype(jnp.float32))
+
+
 class BGNet(nn.Module):
     """Background refinement net (SURVEY.md §2 #16): bg + residual."""
     ngf: int = 32

@@ -17,10 +17,11 @@ from __future__ import annotations
 from typing import Any, Dict, Optional
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from ..ops.pallas_warp import texture_warp
-from .generators import BGNet, TexG, TransG
+from .generators import BGNet, FeatEncoder, TexG, TransG, part_pool
 
 Dtype = Any
 
@@ -46,6 +47,12 @@ class NeuralRenderer(nn.Module):
     use_texg: bool = True
     use_bg: bool = True
     use_mask_texture: bool = False
+    # pix2pixHD encoder E (--instance_feat/--label_feat); region map is the
+    # DensePose part map — see generators.FeatEncoder docstring
+    use_feat: bool = False
+    feat_num: int = 3
+    nef: int = 16
+    n_downsample_E: int = 4
     use_pallas: bool = True
     warp_k: int = 4
     warp_block_parts: int = 0
@@ -59,7 +66,10 @@ class NeuralRenderer(nn.Module):
     @nn.compact
     def __call__(self, pose: jnp.ndarray, bg: jnp.ndarray,
                  static_tex: jnp.ndarray,
-                 tex_mask: Optional[jnp.ndarray] = None) -> Dict[str, jnp.ndarray]:
+                 tex_mask: Optional[jnp.ndarray] = None,
+                 feat_image: Optional[jnp.ndarray] = None,
+                 cluster_feats: Optional[jnp.ndarray] = None
+                 ) -> Dict[str, jnp.ndarray]:
         """Render one batch of frames.
 
         Args:
@@ -72,6 +82,13 @@ class NeuralRenderer(nn.Module):
             batch 1 broadcasts the shared atlas the same way.
           tex_mask: optional (P, T, T, 1) validity mask of atlas texels
             (--use_mask_texture, reference: test_start/start.sh:18).
+          feat_image: (use_feat, training) (B, H, W, 3) real frame; encoder
+            E pools its features per predicted body part and feeds them to
+            TexG — pix2pixHD's instance-feature path, parts as instances.
+          cluster_feats: (use_feat, inference) (P+1, feat_num) appearance
+            codes per part (from tools/encode_features.py clustering);
+            replaces E when no real frame exists. Both None under use_feat
+            => zero codes (neutral; keeps param/channel shapes identical).
 
         Returns dict: fake, fg, mask, probs, uv, logits, texture, bg_refined.
         """
@@ -86,6 +103,36 @@ class NeuralRenderer(nn.Module):
                             dtype=self.dtype, name="TransG")(pose)
         probs = nn.softmax(logits, axis=-1)
 
+        texg_in = pose
+        if self.use_feat:
+            # region map = predicted part argmax (selection-only: constant
+            # under autodiff, like top-k). E itself IS differentiated —
+            # it trains jointly with the generator, pix2pixHD-style.
+            onehot = jax.nn.one_hot(
+                jax.lax.stop_gradient(jnp.argmax(probs, -1)),
+                probs.shape[-1], dtype=jnp.float32)
+            if feat_image is not None:
+                fmap = FeatEncoder(self.feat_num, self.nef,
+                                   self.n_downsample_E,
+                                   pad_mode=self.pad_mode,
+                                   upsample_mode=self.upsample_mode,
+                                   dtype=self.dtype, name="FeatE")(feat_image)
+                pooled = part_pool(fmap, onehot)
+            elif cluster_feats is not None:
+                pooled = jnp.einsum("bhwc,cf->bhwf", onehot,
+                                    cluster_feats.astype(jnp.float32))
+            else:
+                # params must still exist (checkpoint-shape stability):
+                # run E on zeros, then zero the codes
+                fmap = FeatEncoder(self.feat_num, self.nef,
+                                   self.n_downsample_E,
+                                   pad_mode=self.pad_mode,
+                                   upsample_mode=self.upsample_mode,
+                                   dtype=self.dtype, name="FeatE")(
+                    jnp.zeros(pose.shape[:3] + (3,), jnp.float32))
+                pooled = jnp.zeros_like(fmap)
+            texg_in = jnp.concatenate([pose, pooled], axis=-1)
+
         texture = static_tex
         if self.use_texg:
             residual = TexG(self.n_parts, self.tex_tile, self.texg_ngf,
@@ -96,7 +143,7 @@ class NeuralRenderer(nn.Module):
                             stem_s2d=self.stem_s2d, head_s2d=self.head_s2d,
                             pad_mode=self.pad_mode,
                             upsample_mode=self.upsample_mode,
-                            dtype=self.dtype, name="TexG")(pose)
+                            dtype=self.dtype, name="TexG")(texg_in)
             if self.use_mask_texture and tex_mask is not None:
                 residual = residual * tex_mask[None]
             texture = jnp.clip(static_tex + residual, -1.0, 1.0)
@@ -141,6 +188,10 @@ def renderer_from_options(opt) -> NeuralRenderer:
         bg_downs=opt.n_downsample_bg,
         bg_blocks=opt.n_blocks_bg,
         use_mask_texture=opt.use_mask_texture,
+        use_feat=(opt.instance_feat or opt.label_feat),
+        feat_num=opt.feat_num,
+        nef=opt.nef,
+        n_downsample_E=opt.n_downsample_E,
         use_pallas=opt.use_pallas_warp,
         warp_k=opt.warp_topk,
         warp_block_parts=opt.warp_block_parts,

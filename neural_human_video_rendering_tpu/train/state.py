@@ -11,6 +11,7 @@ become trained parameters (SURVEY.md §7 hard part 4).
 
 from __future__ import annotations
 
+import functools
 from typing import Any, Dict, Optional
 
 import flax.struct
@@ -103,10 +104,15 @@ def create_train_state(opt, rng: jax.Array, static_tex, bg,
     bg_b = jnp.zeros((B, S, S, 3), jnp.float32)
     tex_b = jnp.zeros((B, opt.n_parts, opt.tex_tile, opt.tex_tile, 3), jnp.float32)
     rng, g_rng, d_rng = jax.random.split(rng, 3)
+    init_kwargs = {}
+    if renderer.use_feat:
+        # encoder E params must exist from the start (checkpoint shape
+        # stability between train / inference feature modes)
+        init_kwargs["feat_image"] = jnp.zeros((B, S, S, 3), jnp.float32)
     # jit the inits: eager flax init dispatches op-by-op (hundreds of tiny
     # device calls — minutes over a remote TPU link); compiled it's one call
-    g_params = jax.jit(renderer.init)(g_rng, pose, bg_b, tex_b,
-                                      tex_mask)["params"]
+    g_params = jax.jit(functools.partial(renderer.init, **init_kwargs))(
+        g_rng, pose, bg_b, tex_b, tex_mask)["params"]
 
     disc = None
     d_params = {}

@@ -86,6 +86,7 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
     use_lsgan = not opt.no_lsgan
     real_prev = use_temporal and opt.temporal_prev == "real"
     detach_prev = use_temporal and opt.temporal_detach_prev and not real_prev
+    use_feat = opt.instance_feat or opt.label_feat
 
     def step(state: TrainState, batch: Dict[str, jnp.ndarray]):
         batch = unpack_batch(batch)   # wire-format (uint8/f16) -> f32, fused
@@ -112,21 +113,28 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
             # the symmetric pull is statistically redundant — both frames
             # come from the same weights. --no_temporal_detach_prev restores
             # the symmetric gradient.
+            prev_kw = ({"feat_image": batch.get("image_prev", real)}
+                       if use_feat else {})
             prev_det = jax.lax.stop_gradient(renderer.apply(
                 {"params": state.g_params}, pose_prev, bg, tex,
-                state.tex_mask)["fake"])
+                state.tex_mask, **prev_kw)["fake"])
 
         def g_loss_fn(g_params):
             if use_temporal and not detach_prev and not real_prev:
                 # render t and t-1 in one forward (2B batch: MXU-friendly)
                 pose2 = jnp.concatenate([pose, pose_prev], axis=0)
+                kw2 = {}
+                if use_feat:
+                    kw2["feat_image"] = jnp.concatenate(
+                        [real, batch.get("image_prev", real)], axis=0)
                 outs = renderer.apply({"params": g_params}, pose2, bg, tex,
-                                      state.tex_mask)
+                                      state.tex_mask, **kw2)
                 cur = jax.tree.map(lambda x: x[:B], outs)
                 prev_fake = outs["fake"][B:]
             else:
+                kw1 = {"feat_image": real} if use_feat else {}
                 cur = renderer.apply({"params": g_params}, pose, bg, tex,
-                                     state.tex_mask)
+                                     state.tex_mask, **kw1)
                 if real_prev:
                     # --temporal_prev real: flow-warp consistency against
                     # the REAL t-1 frame — no second render at all. Cheaper
@@ -203,14 +211,22 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
     return jax.jit(step, donate_argnums=(0,))
 
 
-def make_forward_fn(opt, renderer):
-    """Jitted inference forward: joints (+laplace) -> rendered frame dict."""
+def make_forward_fn(opt, renderer, cluster_feats=None):
+    """Jitted inference forward: joints (+laplace) -> rendered frame dict.
+
+    cluster_feats: (P+1, feat_num) per-part appearance codes for the
+    --instance_feat inference path (--load_features); None under use_feat
+    renders with zero codes (renderer warns upstream)."""
+    kw = {}
+    if renderer.use_feat and cluster_feats is not None:
+        kw["cluster_feats"] = jnp.asarray(cluster_feats, jnp.float32)
+
     def fwd(g_params, state_assets, joints, laplace=None, pose_img=None):
         static_tex, bg, tex_mask = state_assets
         pose = build_pose_input(opt, joints, laplace, pose_img)
         # batch-1 shared assets: BGNet runs once, compositor broadcasts
         return renderer.apply({"params": g_params}, pose, bg[None],
-                              static_tex[None], tex_mask)
+                              static_tex[None], tex_mask, **kw)
     return jax.jit(fwd)
 
 
