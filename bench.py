@@ -32,6 +32,16 @@ V100_BASELINE_STEPS_PER_SEC = 2.0   # measured-FLOPs derivation above
 
 
 def main():
+    import argparse
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--ckpt", default="", help=(
+        "run dir of a trained checkpoint: measures the TRAINED regime — "
+        "peaked part probabilities let the warp kernel's all-zero-block "
+        "skip prune most of its part loop (the default random-init "
+        "measurement is the warp's worst case)"))
+    ap.add_argument("--tex_tile", type=int, default=128)
+    ns = ap.parse_args()
+
     from neural_human_video_rendering_tpu.runtime import setup_jax
     setup_jax()
     import jax
@@ -44,7 +54,7 @@ def main():
 
     # reference operating point (test_start/start.sh + pretrain_start.sh)
     opt = Options(
-        loadSize=512, batchSize=2, tex_tile=128,
+        loadSize=512, batchSize=2, tex_tile=ns.tex_tile,
         ngf=64, n_downsample_translate=4, n_blocks_translate=9,
         ngf_global=48, n_downsample_global=2, n_blocks_global=10,
         n_downsample_bg=2, n_blocks_bg=2,
@@ -59,6 +69,12 @@ def main():
 
     bundle = create_train_state(opt, jax.random.PRNGKey(0),
                                 ds.texture_atlas(), ds.background())
+    if ns.ckpt:
+        from neural_human_video_rendering_tpu.utils import checkpoint as ckpt
+        st0 = bundle["state"]
+        bundle["state"] = st0.replace(
+            g_params=ckpt.load_net(ns.ckpt, "G", "latest", st0.g_params),
+            d_params=ckpt.load_net(ns.ckpt, "D", "latest", st0.d_params))
     step = st.make_train_step(opt, bundle["renderer"], bundle["disc"],
                               bundle["vgg_params"], bundle["g_tx"],
                               bundle["d_tx"])

@@ -56,6 +56,7 @@ class NeuralRenderer(nn.Module):
     use_pallas: bool = True
     warp_k: int = 4
     warp_block_parts: int = 0
+    warp_eps: float = 1e-3
     stem_s2d: int = 1
     head_s2d: int = 1
     bg_s2d: int = 1
@@ -151,7 +152,8 @@ class NeuralRenderer(nn.Module):
             texture = jnp.broadcast_to(texture, (B,) + texture.shape[1:])
 
         fg = texture_warp(texture, uv, probs, use_pallas=self.use_pallas,
-                          k=self.warp_k, block_parts=self.warp_block_parts)
+                          k=self.warp_k, block_parts=self.warp_block_parts,
+                          eps=self.warp_eps)
 
         bg_refined = bg
         if self.use_bg:
@@ -195,6 +197,7 @@ def renderer_from_options(opt) -> NeuralRenderer:
         use_pallas=opt.use_pallas_warp,
         warp_k=opt.warp_topk,
         warp_block_parts=opt.warp_block_parts,
+        warp_eps=opt.warp_eps,
         stem_s2d=opt.stem_s2d,
         head_s2d=opt.head_s2d,
         bg_s2d=opt.bg_s2d,

@@ -104,7 +104,7 @@ def texture_warp_reference(tex: jnp.ndarray, uv: jnp.ndarray,
 
 
 def texture_warp_topk(tex: jnp.ndarray, uv: jnp.ndarray, probs: jnp.ndarray,
-                      k: int = 4) -> jnp.ndarray:
+                      k: int = 4, eps: float = 0.0) -> jnp.ndarray:
     """TPU-first texture warp: sample only each pixel's top-k parts.
 
     The reference semantics (texture_warp_reference) sample ALL P parts per
@@ -147,6 +147,12 @@ def texture_warp_topk(tex: jnp.ndarray, uv: jnp.ndarray, probs: jnp.ndarray,
         remaining = jnp.where(part_ids == a_e, -jnp.inf, remaining)
     part_idx = jnp.stack(idx_list, axis=1)                       # (B,k,N)
     wk = jnp.stack(w_list, axis=1)                               # (B,k,N)
+    if eps > 0.0:
+        # drop sub-eps blend weights (selection-set shrink, same
+        # stop-gradient semantics as the top-k membership itself).
+        # Error bound: <= k*eps of blend mass per pixel, regime-
+        # independent — see pallas_warp2._topk_dense_weights.
+        wk = jnp.where(jax.lax.stop_gradient(wk) >= eps, wk, 0.0)
 
     u_k = jnp.take_along_axis(u, part_idx, axis=1)               # (B,k,N)
     v_k = jnp.take_along_axis(v, part_idx, axis=1)

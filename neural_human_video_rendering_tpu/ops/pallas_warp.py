@@ -33,14 +33,16 @@ def _pallas_available() -> bool:
 
 def texture_warp(tex: jnp.ndarray, uv: jnp.ndarray, probs: jnp.ndarray,
                  use_pallas: bool = True, k: int = 4,
-                 block_parts: int = 0) -> jnp.ndarray:
+                 block_parts: int = 0, eps: float = 0.0) -> jnp.ndarray:
     """Per-part texture warp + probability blend — the production op.
 
     tex (B,P,T,T,C) in [-1,1]; uv (B,H,W,P,2) in [0,1]; probs (B,H,W,P+1)
     with background at channel 0. Returns (B,H,W,C). Semantics pinned by
     tests/test_ops.py and tests/test_pallas_warp.py. block_parts caps the
-    Pallas kernel's active parts per 1024-pixel block (0 = no cap; only
-    affects near-uniform probabilities, see pallas_warp2 docs).
+    Pallas kernel's active parts per 1024-pixel block (LOSSY, default 0 —
+    see pallas_warp2._topk_dense_weights); eps drops sub-eps blend
+    weights (error bounded by k*eps per pixel, applied identically on
+    both the Pallas and XLA paths so they stay equivalent).
     """
     P = tex.shape[1]
     if use_pallas and _pallas_available():
@@ -62,7 +64,7 @@ def texture_warp(tex: jnp.ndarray, uv: jnp.ndarray, probs: jnp.ndarray,
             uv = uv * ((T - 1) / (_TILE - 1))
         if pallas_warp_supported(tex, uv):
             kk = k if 0 < k <= P else P
-            return texture_warp_pallas(tex, uv, probs, kk, block_parts)
+            return texture_warp_pallas(tex, uv, probs, kk, block_parts, eps)
     if 0 < k < P:
-        return texture_warp_topk(tex, uv, probs, k=k)
+        return texture_warp_topk(tex, uv, probs, k=k, eps=eps)
     return texture_warp_reference(tex, uv, probs)

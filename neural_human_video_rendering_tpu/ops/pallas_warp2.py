@@ -49,7 +49,8 @@ _TILE = 128                     # texture tile edge (Ht == Wt == 128)
 # ----------------------------------------------------------------------
 
 def _topk_dense_weights(fg: jnp.ndarray, k: int,
-                        block_parts: int = 0) -> jnp.ndarray:
+                        block_parts: int = 0,
+                        eps: float = 0.0) -> jnp.ndarray:
     """fg (B,P,N) probs -> w (B,P,N): prob where in top-k else 0.
 
     Value-only selection: the k-th largest value per pixel is found with a
@@ -72,6 +73,19 @@ def _topk_dense_weights(fg: jnp.ndarray, k: int,
     PSNR 28->19 within one epoch under block_parts=8. Default is therefore
     0 (exact); >0 is an inference-only opt-in for checkpoints whose part
     maps are verified coherent.
+
+    eps > 0 zeroes selected weights BELOW eps — the principled replacement
+    for the block cap. Unlike the cap, the error is a-priori bounded and
+    regime-independent: each pixel loses at most k*eps of blend mass
+    (k=4, eps=1e-3 => 0.4% of the [-1,1] range — under the bf16 compute
+    noise floor and the uint8 serving quantization). Gradient semantics
+    match top-k membership (selection is stop-gradient). Why it pays:
+    softmax never emits exact zeros, so on a trained checkpoint every
+    background pixel keeps k tiny positive weights and the kernel's
+    all-zero-block skip never fires (measured: 28% of (block,part) pairs
+    skip at eps=0 vs 57% at eps=1e-3 on the round-2 512px checkpoint).
+    At early-training prob levels (~1/25 per part) eps=1e-3 drops
+    nothing — the threshold only engages once probabilities peak.
     """
     P = fg.shape[1]
     k = min(k, P)
@@ -85,6 +99,8 @@ def _topk_dense_weights(fg: jnp.ndarray, k: int,
         w = jnp.where(jax.lax.stop_gradient(mask), fg, 0.0)
     else:
         w = fg
+    if eps > 0.0:
+        w = jnp.where(jax.lax.stop_gradient(w) >= eps, w, 0.0)
     if 0 < block_parts < P:
         B, _, N = w.shape
         blk = w.reshape(B, P, N // _BLK, _BLK)
@@ -99,7 +115,7 @@ def _topk_dense_weights(fg: jnp.ndarray, k: int,
     return w
 
 
-def _topk_kernel(k, block_parts, fg_ref, w_ref):
+def _topk_kernel(k, block_parts, eps, fg_ref, w_ref):
     """Single-pass fused top-k + block-cap selection.
 
     One (P, 8, 128) block per grid step: the k-th-largest threshold per
@@ -119,6 +135,8 @@ def _topk_kernel(k, block_parts, fg_ref, w_ref):
         w = jnp.where(fg >= thr, fg, 0.0)
     else:
         w = fg
+    if eps > 0.0:
+        w = jnp.where(w >= eps, w, 0.0)
     if 0 < block_parts < P:
         # staged reductions: Mosaic aborts on the fused multi-axis
         # (1, 2) reduction of a (P, 8, 128) block
@@ -133,14 +151,14 @@ def _topk_kernel(k, block_parts, fg_ref, w_ref):
     w_ref[...] = w
 
 
-def _topk_call(fg_planes, k, block_parts):
+def _topk_call(fg_planes, k, block_parts, eps=0.0):
     """fg (B, P, NB, 8, 128) -> selected weights, same shape."""
     B, P, NB = fg_planes.shape[:3]
     spec = pl.BlockSpec((None, P, None, _BLK_ROWS, _BLK_LANES),
                         lambda b, nb: (b, 0, nb, 0, 0),
                         memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_topk_kernel, k, block_parts),
+        functools.partial(_topk_kernel, k, block_parts, eps),
         grid=(B, NB),
         in_specs=[spec],
         out_specs=spec,
@@ -149,7 +167,7 @@ def _topk_call(fg_planes, k, block_parts):
     )(fg_planes)
 
 
-def _to_planes(tex, uv, probs, k, block_parts=0):
+def _to_planes(tex, uv, probs, k, block_parts=0, eps=0.0):
     """Returns (texT (B,P,C,T,T), u,v,w (B,P,NB,8,128), shapes)."""
     B, P, Ht, Wt, C = tex.shape
     H, W = uv.shape[1], uv.shape[2]
@@ -160,7 +178,7 @@ def _to_planes(tex, uv, probs, k, block_parts=0):
     v = jnp.moveaxis(uv[..., 1], -1, 1).reshape(B, P, N)
     fg_planes = fg.astype(jnp.float32).reshape(B, P, NB, _BLK_ROWS, _BLK_LANES)
     w = _topk_call(jax.lax.stop_gradient(fg_planes), k,
-                   block_parts).reshape(B, P, N)
+                   block_parts, eps).reshape(B, P, N)
     # gradient w.r.t. probs flows through the warp's custom VJP (dw masked
     # by w > 0 in _texture_warp_bwd), so the selection op itself is
     # gradient-free — fg enters it via stop_gradient.
@@ -415,24 +433,26 @@ def _bwd_call(texT, u, v, w, g_planes, dims):
 # public op with custom VJP
 # ----------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def texture_warp_pallas(tex: jnp.ndarray, uv: jnp.ndarray,
                         probs: jnp.ndarray, k: int = 4,
-                        block_parts: int = 0) -> jnp.ndarray:
+                        block_parts: int = 0,
+                        eps: float = 0.0) -> jnp.ndarray:
     """Fused Pallas texture warp. Same contract as texture_warp_topk.
 
-    block_parts > 0 caps active parts per kernel block (see
-    _topk_dense_weights) — bounds the untrained-regime cost at
-    ~block_parts/P of the dense loop with no effect once probs peak.
+    block_parts caps active parts per kernel block (LOSSY, opt-in only);
+    eps drops sub-eps blend weights (bounded error <= k*eps per pixel,
+    engages the kernel's all-zero-block skip on trained checkpoints) —
+    see _topk_dense_weights for both.
     """
-    out, _ = _texture_warp_fwd(tex, uv, probs, k, block_parts)
+    out, _ = _texture_warp_fwd(tex, uv, probs, k, block_parts, eps)
     return out
 
 
-def _texture_warp_fwd(tex, uv, probs, k, block_parts=0):
+def _texture_warp_fwd(tex, uv, probs, k, block_parts=0, eps=0.0):
     B, P, Ht, Wt, C = tex.shape
     H, W = uv.shape[1], uv.shape[2]
-    texT, u, v, w, dims = _to_planes(tex, uv, probs, k, block_parts)
+    texT, u, v, w, dims = _to_planes(tex, uv, probs, k, block_parts, eps)
     out_planes = _fwd_call(texT, u, v, w, dims)           # (B,NB,C,8,128)
     out = jnp.moveaxis(out_planes.reshape(B, H * W // _BLK, C, _BLK),
                        2, 3).reshape(B, H, W, C)
@@ -444,7 +464,7 @@ def _texture_warp_fwd(tex, uv, probs, k, block_parts=0):
     return out, (texT, u, v, w, dims, dtype_tokens)
 
 
-def _texture_warp_bwd(k, block_parts, res, g):
+def _texture_warp_bwd(k, block_parts, eps, res, g):
     texT, u, v, w, dims, dtype_tokens = res
     tex_dt, uv_dt, probs_dt = (t.dtype for t in dtype_tokens)
     B, P, C, H, W, NB = dims

@@ -139,6 +139,52 @@ def test_block_part_cap_is_lossy_on_incoherent_probs():
     assert lost > 0.3, lost  # the cap silently drops >30% of blend mass
 
 
+def test_warp_eps_defaults_and_bound():
+    """warp_eps drops sub-eps blend weights with an a-priori bound of
+    k*eps blend mass per pixel — the principled replacement for the
+    demoted block cap (engages the kernel's block skip on trained
+    checkpoints; exact at early-training prob levels)."""
+    from neural_human_video_rendering_tpu.config import Options
+    from neural_human_video_rendering_tpu.models.renderer import NeuralRenderer
+    assert Options().warp_eps == 1e-3
+    assert NeuralRenderer.warp_eps == 1e-3
+
+    rng = np.random.RandomState(3)
+    B, P, H, W, T, C = 1, 6, 8, 128, 8, 2
+    tex = jnp.asarray(rng.rand(B, P, T, T, C).astype(np.float32)) * 2 - 1
+    uv = jnp.asarray(rng.rand(B, H, W, P, 2).astype(np.float32))
+    # peaked probs -> most parts' weights are tiny
+    lg = rng.randn(B, H, W, P + 1).astype(np.float32) * 6.0
+    probs = jnp.asarray(np.exp(lg) / np.exp(lg).sum(-1, keepdims=True))
+    k, eps = 4, 1e-3
+    exact = texture_warp_topk(tex, uv, probs, k=k)
+    dropped = texture_warp_topk(tex, uv, probs, k=k, eps=eps)
+    assert float(jnp.abs(exact - dropped).max()) <= k * eps + 1e-6
+    assert float(jnp.abs(exact - dropped).max()) > 0  # it did drop some
+
+
+def test_warp_eps_selection_semantics():
+    """Weights below eps are zeroed, at/above eps are kept verbatim."""
+    from neural_human_video_rendering_tpu.ops.pallas_warp2 import (
+        _topk_dense_weights)
+    fg = jnp.asarray(
+        np.array([[[0.5], [0.01], [0.0005], [0.2]]], np.float32))  # (1,4,1)
+    w = np.asarray(_topk_dense_weights(fg, 4, eps=1e-3))[:, :, 0]
+    np.testing.assert_allclose(w, [[0.5, 0.01, 0.0, 0.2]])
+
+
+def test_warp_eps_exact_at_uniform_probs():
+    """Early-training regime: near-uniform probs all exceed eps=1e-3, so
+    the threshold changes nothing (the bench/worst case stays honest)."""
+    from neural_human_video_rendering_tpu.ops.pallas_warp2 import (
+        _topk_dense_weights)
+    P = 24
+    fg = jnp.full((1, P, 8), 1.0 / (P + 1), jnp.float32)
+    w0 = np.asarray(_topk_dense_weights(fg, 4, eps=0.0))
+    w1 = np.asarray(_topk_dense_weights(fg, 4, eps=1e-3))
+    np.testing.assert_array_equal(w0, w1)
+
+
 def test_dispatcher_uses_pallas_on_supported_shapes(monkeypatch):
     from neural_human_video_rendering_tpu.ops import pallas_warp as pw
     tex, uv, probs = _inputs()

@@ -129,6 +129,17 @@ def main():
     for name, a, b in zip(("dtex", "duv", "dprobs"), gk4, gr4):
         check(f"warp bwd tile64 k=4 bp=0 {name}", a, b, 5e-3, rtol=1e-3)
 
+    # DEFAULT training path: k=4 + warp_eps=1e-3 (sub-eps weight drop),
+    # kernel vs XLA with the same eps — must agree to float tolerance,
+    # and differ from exact by at most k*eps
+    EPS = 1e-3
+    oute = jax.jit(lambda t, u, p: texture_warp(t, u, p, True, 4, 0, EPS))(
+        tex64, uv64, probs_pk)
+    refe = jax.jit(lambda t, u, p: gs.texture_warp_topk(t, u, p, 4, EPS))(
+        tex64, uv64, probs_pk)
+    check("warp fwd tile64 k=4 eps=1e-3", oute, refe, 2e-5)
+    check("warp eps bound vs exact (<=k*eps)", oute, ref4, 4 * EPS)
+
     # flow warp vs jnp reference
     img = jax.random.uniform(k1, (B, H, W, C), jnp.float32)
     flow = 8.0 * jax.random.normal(k2, (B, H, W, 2), jnp.float32)
