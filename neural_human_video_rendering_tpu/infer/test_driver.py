@@ -136,10 +136,18 @@ def run_inference(opt, batch_size: Optional[int] = None,
 
     cluster_feats = None
     if bundle["renderer"].use_feat:
-        if opt.load_features and os.path.isfile(opt.load_features):
+        if opt.load_features:
+            if not os.path.isfile(opt.load_features):
+                raise FileNotFoundError(
+                    f"--load_features {opt.load_features!r} does not exist "
+                    "(run tools/encode_features.py to build it)")
             import numpy as _np
             centers = _np.load(opt.load_features)["centers"]
-            cluster_feats = centers[min(opt.cluster_idx, len(centers) - 1)]
+            if not 0 <= opt.cluster_idx < len(centers):
+                raise ValueError(
+                    f"--cluster_idx {opt.cluster_idx} out of range: "
+                    f"{opt.load_features} has {len(centers)} clusters")
+            cluster_feats = centers[opt.cluster_idx]
             print(f"[feat] cluster {opt.cluster_idx} codes from "
                   f"{opt.load_features}", flush=True)
         else:

@@ -267,6 +267,16 @@ class TexG(nn.Module):
         return jnp.moveaxis(out, 3, 1)    # (B, P, T, T, 3)
 
 
+def region_mean(fmap: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
+    """Mean feature per region: fmap (B,H,W,F), onehot (B,H,W,C) ->
+    (B,C,F). The single source of the pooling math — part_pool scatters
+    from it and tools/encode_features.py clusters it, so training-time
+    pooling and precomputed cluster codes can never diverge."""
+    s = jnp.einsum("bhwc,bhwf->bcf", onehot, fmap)
+    n = jnp.einsum("bhwc->bc", onehot)
+    return s / (n[..., None] + 1e-6)
+
+
 def part_pool(fmap: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
     """Region-wise average pooling, pix2pixHD Encoder semantics.
 
@@ -275,10 +285,7 @@ def part_pool(fmap: jnp.ndarray, onehot: jnp.ndarray) -> jnp.ndarray:
     Formulated as three einsums (MXU contractions) instead of pix2pixHD's
     per-instance Python loop — jit-able, static shapes, no host sync.
     """
-    s = jnp.einsum("bhwc,bhwf->bcf", onehot, fmap)
-    n = jnp.einsum("bhwc->bc", onehot)
-    mean = s / (n[..., None] + 1e-6)
-    return jnp.einsum("bhwc,bcf->bhwf", onehot, mean)
+    return jnp.einsum("bhwc,bcf->bhwf", onehot, region_mean(fmap, onehot))
 
 
 class FeatEncoder(nn.Module):

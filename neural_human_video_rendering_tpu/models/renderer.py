@@ -112,26 +112,25 @@ class NeuralRenderer(nn.Module):
             onehot = jax.nn.one_hot(
                 jax.lax.stop_gradient(jnp.argmax(probs, -1)),
                 probs.shape[-1], dtype=jnp.float32)
+            enc = FeatEncoder(self.feat_num, self.nef, self.n_downsample_E,
+                              pad_mode=self.pad_mode,
+                              upsample_mode=self.upsample_mode,
+                              dtype=self.dtype, name="FeatE")
             if feat_image is not None:
-                fmap = FeatEncoder(self.feat_num, self.nef,
-                                   self.n_downsample_E,
-                                   pad_mode=self.pad_mode,
-                                   upsample_mode=self.upsample_mode,
-                                   dtype=self.dtype, name="FeatE")(feat_image)
-                pooled = part_pool(fmap, onehot)
+                pooled = part_pool(enc(feat_image), onehot)
             elif cluster_feats is not None:
                 pooled = jnp.einsum("bhwc,cf->bhwf", onehot,
                                     cluster_feats.astype(jnp.float32))
+            elif self.is_initializing():
+                # params must exist whatever mode later applies use
+                # (checkpoint-shape stability): trace E once at init
+                pooled = jnp.zeros_like(
+                    enc(jnp.zeros(pose.shape[:3] + (3,), jnp.float32)))
             else:
-                # params must still exist (checkpoint-shape stability):
-                # run E on zeros, then zero the codes
-                fmap = FeatEncoder(self.feat_num, self.nef,
-                                   self.n_downsample_E,
-                                   pad_mode=self.pad_mode,
-                                   upsample_mode=self.upsample_mode,
-                                   dtype=self.dtype, name="FeatE")(
-                    jnp.zeros(pose.shape[:3] + (3,), jnp.float32))
-                pooled = jnp.zeros_like(fmap)
+                # neutral mode: zero codes, no dead encoder compute
+                # (flax apply tolerates params unused by the trace)
+                pooled = jnp.zeros(pose.shape[:3] + (self.feat_num,),
+                                   jnp.float32)
             texg_in = jnp.concatenate([pose, pooled], axis=-1)
 
         texture = static_tex

@@ -67,4 +67,10 @@ def texture_warp(tex: jnp.ndarray, uv: jnp.ndarray, probs: jnp.ndarray,
             return texture_warp_pallas(tex, uv, probs, kk, block_parts, eps)
     if 0 < k < P:
         return texture_warp_topk(tex, uv, probs, k=k, eps=eps)
+    if eps > 0.0:
+        # k=0 / k>=P means "all parts", but eps must still drop sub-eps
+        # weights so this fallback matches the Pallas path (which applies
+        # eps at kk=P); topk with k=P selects every part (pinned equal to
+        # the reference by tests/test_ops.py)
+        return texture_warp_topk(tex, uv, probs, k=P, eps=eps)
     return texture_warp_reference(tex, uv, probs)

@@ -205,7 +205,10 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
             fwd = make_forward_fn(opt, bundle["renderer"])
         outs = fwd(st.g_params, (st.static_tex, st.bg, st.tex_mask),
                    jnp.asarray(batch["joints"][:1]),
-                   jnp.asarray(batch["laplace"][:1]) if "laplace" in batch else None)
+                   jnp.asarray(batch["laplace"][:1]) if "laplace" in batch else None,
+                   feat_image=jnp.asarray(batch["image"][:1])
+                   if (opt.instance_feat or opt.label_feat)
+                   and "image" in batch else None)
         vis = {"synthesized": np.asarray(outs["fake"][0]),
                "foreground": np.asarray(outs["fg"][0]),
                "mask": np.asarray(outs["mask"][0]) * 2 - 1,
@@ -236,12 +239,17 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
             def eval_fn(st, epoch):
                 ps, ss, n = 0.0, 0.0, 0
                 for eb in eval_loader:
+                    real = jnp.asarray(eb["image"])
                     outs = efwd(st.g_params,
                                 (st.static_tex, st.bg, st.tex_mask),
                                 jnp.asarray(eb["joints"]),
                                 jnp.asarray(eb["laplace"])
-                                if "laplace" in eb else None)
-                    real = jnp.asarray(eb["image"])
+                                if "laplace" in eb else None,
+                                # encode the real frame under use_feat so
+                                # metrics measure the trained configuration
+                                feat_image=real
+                                if opt.instance_feat or opt.label_feat
+                                else None)
                     p, s = _metrics(outs["fake"], real)
                     ps += float(jnp.sum(p))
                     ss += float(jnp.sum(s))

@@ -221,12 +221,19 @@ def make_forward_fn(opt, renderer, cluster_feats=None):
     if renderer.use_feat and cluster_feats is not None:
         kw["cluster_feats"] = jnp.asarray(cluster_feats, jnp.float32)
 
-    def fwd(g_params, state_assets, joints, laplace=None, pose_img=None):
+    def fwd(g_params, state_assets, joints, laplace=None, pose_img=None,
+            feat_image=None):
         static_tex, bg, tex_mask = state_assets
         pose = build_pose_input(opt, joints, laplace, pose_img)
+        fkw = dict(kw)
+        if renderer.use_feat and feat_image is not None:
+            # eval-with-reference-frame mode: encode the real frame like
+            # the train step does, so held-out metrics measure the model
+            # in the configuration it actually trains in
+            fkw = {"feat_image": feat_image}
         # batch-1 shared assets: BGNet runs once, compositor broadcasts
         return renderer.apply({"params": g_params}, pose, bg[None],
-                              static_tex[None], tex_mask, **kw)
+                              static_tex[None], tex_mask, **fkw)
     return jax.jit(fwd)
 
 

@@ -185,6 +185,23 @@ def test_warp_eps_exact_at_uniform_probs():
     np.testing.assert_array_equal(w0, w1)
 
 
+def test_warp_eps_applies_on_all_parts_fallback():
+    """k=0 / k>=P ("all parts") must still honor eps on the non-Pallas
+    path, matching the Pallas path's kk=P+eps routing."""
+    from neural_human_video_rendering_tpu.ops.pallas_warp import texture_warp
+    rng = np.random.RandomState(9)
+    B, P, H, W, T, C = 1, 5, 4, 4, 8, 2
+    tex = jnp.asarray(rng.rand(B, P, T, T, C).astype(np.float32))
+    uv = jnp.asarray(rng.rand(B, H, W, P, 2).astype(np.float32))
+    lg = rng.randn(B, H, W, P + 1).astype(np.float32) * 6.0
+    probs = jnp.asarray(np.exp(lg) / np.exp(lg).sum(-1, keepdims=True))
+    out = texture_warp(tex, uv, probs, use_pallas=False, k=0, eps=1e-3)
+    ref = texture_warp_topk(tex, uv, probs, k=P, eps=1e-3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-6)
+    exact = texture_warp_topk(tex, uv, probs, k=P)
+    assert float(jnp.abs(out - exact).max()) > 0  # eps engaged
+
+
 def test_dispatcher_uses_pallas_on_supported_shapes(monkeypatch):
     from neural_human_video_rendering_tpu.ops import pallas_warp as pw
     tex, uv, probs = _inputs()

@@ -80,13 +80,16 @@ def main():
     enc = FeatEncoder(opt.feat_num, opt.nef, opt.n_downsample_E,
                       pad_mode=opt.pad_mode, upsample_mode=opt.upsample_mode)
 
+    from neural_human_video_rendering_tpu.models.generators import region_mean
+
     @jax.jit
     def encode(img, parts):
         fmap = enc.apply({"params": g_params["FeatE"]}, img)   # (1,H,W,F)
         onehot = jax.nn.one_hot(parts, opt.n_parts + 1)        # (1,H,W,P+1)
-        s = jnp.einsum("bhwc,bhwf->cf", onehot, fmap)
-        n = jnp.einsum("bhwc->c", onehot)
-        return s / (n[:, None] + 1e-6), n > 0                  # (P+1,F), (P+1,)
+        # SAME pooling math as the renderer's part_pool (shared helper)
+        mean = region_mean(fmap, onehot)[0]                    # (P+1,F)
+        present = jnp.einsum("bhwc->c", onehot) > 0
+        return mean, present
 
     vecs = [[] for _ in range(opt.n_parts + 1)]
     take = min(len(ds), ns.max_frames)
