@@ -22,6 +22,14 @@ the stated >3x target against the realistic 1.5 steps/s is ~4.5 steps/s).
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline",
 "inference_fps"} — the secondary 512px batched-inference FPS rides along so
 the driver records both BASELINE.md metrics.
+
+History note: round-1's recorded 6.48 steps/s rode `warp_block_parts=8`,
+since shown to be a LOSSY approximation (unbounded error on spatially
+incoherent part maps — collapsed a resumed training run) and demoted to
+opt-in. The exact-kernel default measures ~5.5 steps/s here at random
+init, which is the warp's worst case: trained checkpoints run faster
+(`--ckpt` measures that regime). See docs/PERFORMANCE.md "block-part cap
+demoted".
 """
 
 import json
