@@ -155,7 +155,7 @@ class Options:
     dtype: str = "bfloat16"          # compute dtype; params/opt state stay fp32
     mesh_shape: str = ""             # e.g. "8" or "4,2"; empty = all devices, 1 axis
     use_pallas_warp: bool = True     # fused Pallas texture-warp kernel
-    wire_pack: bool = True           # uint8/f16 host->device batch format (lossless for 8-bit sources)
+    wire_pack: bool = True           # uint8/f16 host->device batch format (bit-exact on the 1/255 grid; <=1/255 rounding after interpolated resizes — data/wire.py)
     warp_topk: int = 4               # top-k part sampling in the texture warp (0/24 = all parts)
     warp_block_parts: int = 0        # cap active parts per warp-kernel block (0 = exact; >0 is a lossy opt-in, only valid once part probs are spatially coherent)
     warp_eps: float = 1e-3           # drop sub-eps blend weights in the warp (error <= warp_topk*eps per pixel; 0 = exact)

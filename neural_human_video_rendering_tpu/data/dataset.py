@@ -232,7 +232,14 @@ class FrameDataset:
 
         n = min(x for x in [len(self.pose_names) or len(self.pose_img_names) or None,
                             len(self.img_names) or None,
+                            len(self.mask_names) or None,
+                            len(self.dp_names) or None,
+                            len(self.lap_names) or None,
                             opt.max_dataset_size] if x)
+        assert n < opt.max_dataset_size or any(
+            (self.pose_names, self.pose_img_names, self.img_names,
+             self.mask_names, self.dp_names, self.lap_names)), \
+            "FrameDataset built with no per-frame modality directories"
         idx = np.arange(n)
         split = int(round(n * opt.data_ratio))
         self.indices = idx[:split] if phase == "train" else idx[split:]
@@ -259,7 +266,12 @@ class FrameDataset:
         self._scale_width = opt.resize_or_crop.startswith("scale_width")
 
         self._bg_full: Optional[np.ndarray] = None
-        if self.crop and opt.bg_path and os.path.isfile(opt.bg_path):
+        if ((self.crop or self.flip) and opt.bg_path
+                and os.path.isfile(opt.bg_path)):
+            # crop mode: each sample composites against its own bg window.
+            # flip mode: a mirrored sample must composite against the
+            # MIRRORED background or every background pixel's loss target
+            # is wrong — so flip configs also ship per-sample bg.
             self._bg_full = self._image(opt.bg_path)
 
     def __len__(self) -> int:
@@ -369,6 +381,12 @@ class FrameDataset:
             out = self._apply_flip(out)
         if self.crop:
             out = self._apply_crop(out, rng, flipped)
+        elif self.flip and self._bg_full is not None:
+            # per-sample bg so flipped samples see the mirrored background
+            # (keys must be batch-uniform, so unflipped samples carry the
+            # plain bg; costs per-sample BGNet only under flip configs)
+            bg = self._bg_full[:, ::-1] if flipped else self._bg_full
+            out["bg"] = np.ascontiguousarray(bg)
         return out
 
     def _frame_flow(self, names: List[str], d: str, i: int) -> np.ndarray:

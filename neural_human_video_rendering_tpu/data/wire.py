@@ -5,10 +5,18 @@ IUV + two flows); over a tunneled/remote device link the per-step upload —
 not compute — bounds real training throughput (measured: ~70 s epochs vs
 the 7 s the compiled step sustains). Every image-like modality is 8-bit at
 the source (PNG frames/masks, IUV codes) so shipping float32 is pure waste:
-pack to uint8/float16 on the host (lossless for all 8-bit-sourced
-modalities — the quantization grid is exactly the decoder's), upload ~4x
-fewer bytes, and dequantize on device as the first (fused, free) ops of the
-jitted step.
+pack to uint8/float16 on the host, upload ~4x fewer bytes, and dequantize
+on device as the first (fused, free) ops of the jitted step.
+
+Precision, honestly: bit-exact when the host pipeline leaves values on the
+decoder's 1/255 grid (native-resolution training, NEAREST-resized masks/
+IUV). When an interpolating resize ran first (e.g. --loadSize below the
+native resolution: INTER_AREA frames, scale_width letterboxing), values
+leave the 8-bit grid and re-quantization rounds them by up to 1/255
+(~0.002 in [-1,1] — below the bf16 compute noise the step runs in
+anyway). flow/Laplace ship as float16 after the canvas rescale (max
+rounding ~1e-3 relative). `--no_wire_pack` restores exact float32 at 4x
+the wire bytes.
 
 Packing runs in the BatchLoader's worker thread; `unpack_batch` is
 dtype-driven, so raw float32 batches pass through unchanged and the same

@@ -70,21 +70,28 @@ def run_inference(opt, batch_size: Optional[int] = None,
         joints[..., 0] = np.where(has, s * joints[..., 0] + t[0], joints[..., 0])
         joints[..., 1] = np.where(has, s * joints[..., 1] + t[1], joints[..., 1])
         print(f"[align] scale {s:.3f}, translation {t}", flush=True)
-    # map target-canvas pixel coords onto the square model canvas: exact
-    # anisotropic mapping when the canvas is known (--target_shape /
-    # align_meta.json); corpus-extent heuristic otherwise
+    # map target-canvas pixel coords onto the square model canvas with the
+    # SAME geometry training used (dataset.canvas_geom: anisotropic for
+    # resize modes, aspect-preserving + vertical letterbox offset for
+    # scale_width*, loadSize canvas + center-crop offset for *_crop modes);
+    # corpus-extent heuristic when no canvas is known
     canvas = _target_canvas(opt)
     if canvas is None and opt.pose_tgt_path and os.path.isdir(opt.pose_tgt_path):
         _, hi = pose_align.corpus_extent(opt.pose_tgt_path)
         if np.all(np.isfinite(hi)):
             canvas = (float(hi[1]), float(hi[0]))       # (H, W) from extent
     if canvas is not None:
-        Ht, Wt = canvas
+        Ht, Wt = max(float(canvas[0]), 1.0), max(float(canvas[1]), 1.0)
+        sx, sy, oy = dsm.canvas_geom(opt.resize_or_crop, Wt, Ht,
+                                     opt.loadSize)
+        # crop modes train at train_size windows of the loadSize canvas;
+        # inference uses the deterministic center window (same as eval)
+        oc = (opt.loadSize - S) // 2 if S < opt.loadSize else 0
         joints = joints.copy()
         has = joints[..., 2] > 0
-        joints[..., 0] = np.where(has, joints[..., 0] * (S / max(Wt, 1)),
+        joints[..., 0] = np.where(has, joints[..., 0] * sx - oc,
                                   joints[..., 0])
-        joints[..., 1] = np.where(has, joints[..., 1] * (S / max(Ht, 1)),
+        joints[..., 1] = np.where(has, joints[..., 1] * sy + oy - oc,
                                   joints[..., 1])
     else:
         extent = max(float(np.max(joints[..., :2])), 1.0)

@@ -206,6 +206,7 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
         outs = fwd(st.g_params, (st.static_tex, st.bg, st.tex_mask),
                    jnp.asarray(batch["joints"][:1]),
                    jnp.asarray(batch["laplace"][:1]) if "laplace" in batch else None,
+                   jnp.asarray(batch["pose_img"][:1]) if "pose_img" in batch else None,
                    feat_image=jnp.asarray(batch["image"][:1])
                    if (opt.instance_feat or opt.label_feat)
                    and "image" in batch else None)
@@ -245,6 +246,8 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
                                 jnp.asarray(eb["joints"]),
                                 jnp.asarray(eb["laplace"])
                                 if "laplace" in eb else None,
+                                jnp.asarray(eb["pose_img"])
+                                if "pose_img" in eb else None,
                                 # encode the real frame under use_feat so
                                 # metrics measure the trained configuration
                                 feat_image=real
@@ -344,6 +347,18 @@ class _TexDataset:
 
     def __len__(self):
         return len(self.base)
+
+    @property
+    def epoch(self):
+        return getattr(self.base, "epoch", 0)
+
+    @epoch.setter
+    def epoch(self, value):
+        # forward BatchLoader's per-epoch advance to the wrapped dataset so
+        # its deterministic (seed, epoch, index) augmentation RNG varies
+        # across epochs
+        if hasattr(self.base, "epoch"):
+            self.base.epoch = value
 
     def __getitem__(self, k):
         s = self.base[k]

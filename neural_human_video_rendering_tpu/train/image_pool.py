@@ -39,7 +39,13 @@ def pool_query(pool: jnp.ndarray, count: jnp.ndarray, key: jnp.ndarray,
     """
     B, K = imgs.shape[0], pool.shape[0]
     k_idx, k_coin, k_next = jax.random.split(key, 3)
-    rand_idx = jax.random.randint(k_idx, (B,), 0, K)
+    # sample history indices over the VALID entries only (count, not K):
+    # on the batch that crosses the pool-full boundary a non-filling
+    # element must not read a slot another element is writing this same
+    # step (reads see the pre-update pool -> uninitialized zeros)
+    valid = jnp.maximum(jnp.minimum(count, K), 1)
+    rand_idx = jnp.floor(
+        jax.random.uniform(k_idx, (B,)) * valid).astype(jnp.int32)
     coin = jax.random.uniform(k_coin, (B,)) < 0.5
 
     slot = count + jnp.arange(B)             # would-be insert positions
@@ -49,10 +55,12 @@ def pool_query(pool: jnp.ndarray, count: jnp.ndarray, key: jnp.ndarray,
     bcast = (slice(None), None, None, None)
     returned = jnp.where(use_hist[bcast], pool[rand_idx], imgs)
 
-    # writes: filling inserts at `slot`; swaps write at `rand_idx`
+    # writes: filling inserts at `slot`; swaps write at `rand_idx`.
+    # Non-writing lanes scatter to index K with mode='drop' so they can
+    # never clobber a writing lane that shares their index.
     write_idx = jnp.where(filling, jnp.minimum(slot, K - 1), rand_idx)
     do_write = filling | use_hist
-    old = pool[write_idx]
-    pool = pool.at[write_idx].set(jnp.where(do_write[bcast], imgs, old))
+    write_idx = jnp.where(do_write, write_idx, K)
+    pool = pool.at[write_idx].set(imgs, mode="drop")
     count = jnp.minimum(count + jnp.sum(filling.astype(count.dtype)), K)
     return returned, pool, count, k_next

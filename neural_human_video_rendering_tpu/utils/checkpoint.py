@@ -96,25 +96,45 @@ def _tolerant_from_state_dict(target: Any, raw: Any, label: str) -> Any:
     leaf whose path+shape still matches; keep fresh init for the rest and
     say so — same spirit as pix2pixHD's loose network loads."""
     try:
-        return fser.from_state_dict(target, raw)
+        restored = fser.from_state_dict(target, raw)
+        # flax's plain-dict restore can silently graft a checkpoint
+        # subtree where the target has a leaf (it just returns `state`
+        # for unknown shapes) — only trust the fast path when the tree
+        # structure actually round-tripped
+        if (jax.tree.structure(restored) == jax.tree.structure(target)):
+            return restored
     except ValueError:
         pass
 
     dropped = []
 
+    def keep_fresh(t, path):
+        dropped.append(path or "/")
+        return t
+
     def merge(t, r, path):
         if isinstance(t, dict):
             if not isinstance(r, dict):
-                dropped.append(path or "/")
-                return t
-            return {k: merge(v, r[k], f"{path}/{k}") if k in r else v
-                    for k, v in t.items()}
-        ra = np.asarray(r) if r is not None else None
-        ta = np.asarray(t) if t is not None else None
-        if ra is not None and ta is not None and ra.shape == ta.shape:
-            return ra.astype(ta.dtype)
-        dropped.append(path or "/")
-        return t
+                return keep_fresh(t, path)
+            out = {}
+            for k, v in t.items():
+                out[k] = (merge(v, r[k], f"{path}/{k}") if k in r
+                          else keep_fresh(v, f"{path}/{k}"))
+            return out
+        if isinstance(r, dict):
+            # checkpoint has a subtree where the new state expects a leaf
+            # (e.g. adam state vs a freeze counter after an optax-chain
+            # change) — np.asarray(dict) would make a 0-d object array
+            # whose astype raises TypeError, so branch before converting
+            return keep_fresh(t, path)
+        try:
+            ra = np.asarray(r) if r is not None else None
+            ta = np.asarray(t) if t is not None else None
+            if ra is not None and ta is not None and ra.shape == ta.shape:
+                return ra.astype(ta.dtype)
+        except (TypeError, ValueError):
+            pass
+        return keep_fresh(t, path)
 
     merged = merge(fser.to_state_dict(target), raw, "")
     if dropped:

@@ -163,3 +163,33 @@ def test_resume_across_schedule_change(tmp_path):
     back, epoch2 = ckpt.load_train_state(
         d, st.replace(g_opt=tx_const.init(p), d_opt=tx_const.init(p)))
     assert epoch2 == 7
+
+
+def test_tolerant_merge_dict_vs_leaf(capsys):
+    """Checkpoint subtree where the new state expects a scalar leaf (optax
+    chain change, e.g. adding a freeze counter) must keep the fresh leaf
+    instead of crashing on np.asarray(dict).astype (review finding r2)."""
+    import numpy as np
+    from neural_human_video_rendering_tpu.utils.checkpoint import (
+        _tolerant_from_state_dict)
+    target = {"0": np.zeros((), np.int32),          # new: freeze counter
+              "1": {"mu": np.zeros(3, np.float32)}}
+    raw = {"0": {"count": np.ones(2), "mu": np.ones(3)},   # old: adam dict
+           "1": {"mu": np.ones(3, np.float32)}}
+    merged = _tolerant_from_state_dict(target, raw, "test")
+    assert merged["0"].shape == () and int(merged["0"]) == 0   # fresh
+    np.testing.assert_allclose(merged["1"]["mu"], 1.0)         # restored
+
+
+def test_tolerant_merge_counts_missing_keys(capsys):
+    import numpy as np
+    from neural_human_video_rendering_tpu.utils.checkpoint import (
+        _tolerant_from_state_dict)
+    target = {"a": np.zeros(2, np.float32), "b": np.zeros(2, np.float32),
+              "c": {"x": np.zeros((), np.float32)}}
+    raw = {"a": np.ones(2, np.float32)}    # b and c missing entirely
+    merged = _tolerant_from_state_dict(target, raw, "test")
+    np.testing.assert_allclose(merged["a"], 1.0)
+    np.testing.assert_allclose(merged["b"], 0.0)
+    msg = capsys.readouterr().out
+    assert "2 subtree(s)" in msg, msg

@@ -3,6 +3,7 @@ COCO-18 L/R joint swap, DensePose 24-part mirror + U-flip, flow negation,
 and whole-sample consistency through FrameDataset."""
 
 import dataclasses
+import os
 
 import numpy as np
 
@@ -112,3 +113,33 @@ def test_dataset_flip_consistency(tiny_opt, tmp_path):
     ds_eval = dsm.FrameDataset(dataclasses.replace(opt, data_ratio=0.5),
                                "test")
     assert not ds_eval.flip
+
+
+def test_flip_supplies_per_sample_background(tiny_opt, tmp_path):
+    """Flip configs with a bg asset must ship per-sample backgrounds so a
+    mirrored sample composites (and is supervised) against the MIRRORED
+    background (review finding r2: the unflipped shared asset made every
+    background pixel's loss target wrong for flipped samples)."""
+    c = make_corpus(str(tmp_path), n=8, size=32)
+    bg_path = c.get("bg.jpg")
+    assert bg_path and os.path.isfile(bg_path)
+    opt = dataclasses.replace(
+        tiny_opt, no_flip=False, loadSize=32,
+        pose_path=c["openpose_json"], img_path=c["frames"],
+        bg_path=bg_path)
+    ds = dsm.FrameDataset(opt, "train")
+    ds_plain = dsm.FrameDataset(dataclasses.replace(opt, no_flip=True),
+                                "train")
+    bg_ref = ds_plain._image(bg_path)
+    saw_flip = False
+    for i in range(len(ds)):
+        s, p = ds[i], ds_plain[i]
+        assert "bg" in s, "flip config must carry per-sample bg"
+        if np.array_equal(s["image"], p["image"]):
+            np.testing.assert_array_equal(s["bg"], bg_ref)
+        else:
+            saw_flip = True
+            np.testing.assert_array_equal(s["bg"], bg_ref[:, ::-1])
+    assert saw_flip
+    # --no_flip keeps the shared-asset fast path (no per-sample bg)
+    assert "bg" not in ds_plain[0]

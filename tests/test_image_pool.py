@@ -83,3 +83,34 @@ def test_train_step_with_pool(tiny_opt):
     assert int(state.pool_n) == 6   # filled past capacity and capped
     assert np.isfinite(float(metrics["G_total"]))
     assert float(jnp.abs(state.pool_buf).max()) > 0
+
+
+def test_pool_boundary_batch_never_returns_uninitialized():
+    """The batch that crosses the pool-full boundary: non-filling elements
+    must sample only VALID history slots, never an uninitialized (zero)
+    entry being written in the same step."""
+    K = 4
+    pool = _imgs([10, 20, 30, 0]).reshape(K, 2, 2, 1)   # slot 3 still empty
+    count = jnp.asarray(3, jnp.int32)
+    key = jax.random.PRNGKey(0)
+    for step in range(30):   # many keys: cover the coin/index space
+        out, _, new_count, key = pool_query(pool, count, key,
+                                            _imgs([101, 102]))
+        vals = np.asarray(out)[:, 0, 0, 0]
+        # element 0 fills slot 3 -> returns fresh 101; element 1 is
+        # non-filling: fresh 102 or one of the VALID entries 10/20/30 —
+        # never the 0 that slot 3 held before this step's write
+        assert vals[0] == 101
+        assert vals[1] in (102, 10, 20, 30), vals
+        assert int(new_count) == K
+
+
+def test_pool_collision_write_keeps_a_fresh_image():
+    """When a filling lane and a non-writing lane could collide, the
+    non-writing lane must not clobber the write (mode='drop' scatter)."""
+    K = 2
+    pool = jnp.zeros((K, 2, 2, 1))
+    count = jnp.zeros((), jnp.int32)
+    key = jax.random.PRNGKey(1)
+    out, pool, count, key = pool_query(pool, count, key, _imgs([5, 6]))
+    np.testing.assert_allclose(np.asarray(pool)[:, 0, 0, 0], [5, 6])
