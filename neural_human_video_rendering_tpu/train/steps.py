@@ -127,7 +127,11 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
                 if use_feat:
                     kw2["feat_image"] = jnp.concatenate(
                         [real, batch.get("image_prev", real)], axis=0)
-                outs = renderer.apply({"params": g_params}, pose2, bg, tex,
+                # per-sample bg (crop/flip modes) applies to both frames of
+                # the pair (same window/mirror) — tile it to the 2B batch
+                bg2 = (jnp.concatenate([bg, bg], axis=0)
+                       if bg.shape[0] == B else bg)
+                outs = renderer.apply({"params": g_params}, pose2, bg2, tex,
                                       state.tex_mask, **kw2)
                 cur = jax.tree.map(lambda x: x[:B], outs)
                 prev_fake = outs["fake"][B:]
