@@ -49,6 +49,35 @@ def _target_canvas(opt) -> Optional[tuple]:
     return None
 
 
+def map_driving_joints(opt, joints: np.ndarray,
+                       canvas: Optional[tuple]) -> np.ndarray:
+    """Map target-canvas pixel keypoints onto the square model canvas with
+    the SAME geometry training used (dataset.canvas_geom: anisotropic for
+    resize modes, aspect-preserving + vertical letterbox offset for
+    scale_width*, loadSize canvas + deterministic center-crop offset for
+    *_crop modes — matching the eval-phase crop). Falls back to a
+    corpus-extent squeeze when no canvas is known."""
+    from ..data import dataset as dsm
+    S = opt.train_size
+    if canvas is not None:
+        Ht, Wt = max(float(canvas[0]), 1.0), max(float(canvas[1]), 1.0)
+        sx, sy, oy = dsm.canvas_geom(opt.resize_or_crop, Wt, Ht,
+                                     opt.loadSize)
+        oc = (opt.loadSize - S) // 2 if S < opt.loadSize else 0
+        joints = joints.copy()
+        has = joints[..., 2] > 0
+        joints[..., 0] = np.where(has, joints[..., 0] * sx - oc,
+                                  joints[..., 0])
+        joints[..., 1] = np.where(has, joints[..., 1] * sy + oy - oc,
+                                  joints[..., 1])
+        return joints
+    extent = max(float(np.max(joints[..., :2])), 1.0)
+    if extent > S:
+        joints = joints.copy()
+        joints[..., :2] *= S / extent
+    return joints
+
+
 def run_inference(opt, batch_size: Optional[int] = None,
                   max_frames: Optional[int] = None) -> int:
     """Render the driving sequence; returns number of frames written."""
@@ -70,34 +99,12 @@ def run_inference(opt, batch_size: Optional[int] = None,
         joints[..., 0] = np.where(has, s * joints[..., 0] + t[0], joints[..., 0])
         joints[..., 1] = np.where(has, s * joints[..., 1] + t[1], joints[..., 1])
         print(f"[align] scale {s:.3f}, translation {t}", flush=True)
-    # map target-canvas pixel coords onto the square model canvas with the
-    # SAME geometry training used (dataset.canvas_geom: anisotropic for
-    # resize modes, aspect-preserving + vertical letterbox offset for
-    # scale_width*, loadSize canvas + center-crop offset for *_crop modes);
-    # corpus-extent heuristic when no canvas is known
     canvas = _target_canvas(opt)
     if canvas is None and opt.pose_tgt_path and os.path.isdir(opt.pose_tgt_path):
         _, hi = pose_align.corpus_extent(opt.pose_tgt_path)
         if np.all(np.isfinite(hi)):
             canvas = (float(hi[1]), float(hi[0]))       # (H, W) from extent
-    if canvas is not None:
-        Ht, Wt = max(float(canvas[0]), 1.0), max(float(canvas[1]), 1.0)
-        sx, sy, oy = dsm.canvas_geom(opt.resize_or_crop, Wt, Ht,
-                                     opt.loadSize)
-        # crop modes train at train_size windows of the loadSize canvas;
-        # inference uses the deterministic center window (same as eval)
-        oc = (opt.loadSize - S) // 2 if S < opt.loadSize else 0
-        joints = joints.copy()
-        has = joints[..., 2] > 0
-        joints[..., 0] = np.where(has, joints[..., 0] * sx - oc,
-                                  joints[..., 0])
-        joints[..., 1] = np.where(has, joints[..., 1] * sy + oy - oc,
-                                  joints[..., 1])
-    else:
-        extent = max(float(np.max(joints[..., :2])), 1.0)
-        if extent > S:
-            joints = joints.copy()
-            joints[..., :2] *= S / extent
+    joints = map_driving_joints(opt, joints, canvas)
 
     n = len(names) if max_frames is None else min(len(names), max_frames)
     n = min(n, opt.how_many)

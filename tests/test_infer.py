@@ -62,3 +62,46 @@ def test_save_video(tiny_opt, tmp_path):
     while cap.read()[0]:
         frames += 1
     assert frames == 5
+
+
+def test_map_driving_joints_matches_training_geometry(tiny_opt):
+    """Inference keypoint mapping must reuse dataset.canvas_geom (review
+    finding r2: a reimplemented anisotropic squeeze ignored scale_width's
+    letterbox offset and crop-mode's loadSize canvas + center crop)."""
+    import dataclasses
+    import numpy as np
+    from neural_human_video_rendering_tpu.data.dataset import canvas_geom
+    from neural_human_video_rendering_tpu.infer.test_driver import \
+        map_driving_joints
+
+    j = np.zeros((1, 18, 3), np.float32)
+    j[0, 0] = (512.0, 256.0, 1.0)      # a confident joint on a 1024x512 canvas
+    canvas = (512.0, 1024.0)           # (H, W)
+
+    # resize: anisotropic to S x S
+    opt = dataclasses.replace(tiny_opt, loadSize=64, fineSize=64,
+                              resize_or_crop="resize")
+    out = map_driving_joints(opt, j, canvas)
+    np.testing.assert_allclose(out[0, 0, :2], [512 * 64 / 1024,
+                                               256 * 64 / 512], atol=1e-5)
+
+    # scale_width: aspect-preserving + vertical letterbox offset
+    opt = dataclasses.replace(tiny_opt, loadSize=64, fineSize=64,
+                              resize_or_crop="scale_width")
+    sx, sy, oy = canvas_geom("scale_width", 1024, 512, 64)
+    out = map_driving_joints(opt, j, canvas)
+    np.testing.assert_allclose(out[0, 0, :2],
+                               [512 * sx, 256 * sy + oy], atol=1e-5)
+    assert oy != 0      # the letterbox offset actually engages
+
+    # resize_and_crop: loadSize canvas, deterministic center-crop offset
+    opt = dataclasses.replace(tiny_opt, loadSize=64, fineSize=32,
+                              resize_or_crop="resize_and_crop")
+    oc = (64 - 32) // 2
+    out = map_driving_joints(opt, j, canvas)
+    np.testing.assert_allclose(out[0, 0, :2],
+                               [512 * 64 / 1024 - oc, 256 * 64 / 512 - oc],
+                               atol=1e-5)
+
+    # unconfident joints are left untouched
+    assert out[0, 1, 2] == 0 and out[0, 1, 0] == 0
