@@ -2,6 +2,7 @@
 "Parallelism": the TPU-native replacement for the reference's
 nn.DataParallel)."""
 
+import pytest
 import dataclasses
 
 import jax
@@ -95,3 +96,28 @@ def test_run_train_single_device_when_indivisible(tiny_opt, tmp_path, capsys):
     run_train(opt)
     out = capsys.readouterr().out
     assert "not divisible" in out
+
+
+@pytest.mark.slow
+def test_data_parallel_step_with_instance_feat(tiny_opt):
+    """The encoder-E path (per-sample feat_image, einsum region pooling)
+    shards over the data mesh like every other batch input."""
+    opt = dataclasses.replace(tiny_opt, instance_feat=True, nef=4,
+                              n_downsample_E=1, lambda_L2=500,
+                              no_vgg_loss=True, lambda_Temp=0,
+                              use_densepose_loss=True,
+                              lambda_UV=1000, lambda_Prob=10)
+    ds = dsm.SyntheticDataset(opt, length=8)
+    batch_np = dsm.collate([ds[i] for i in range(8)])
+    bundle = create_train_state(opt, jax.random.PRNGKey(0),
+                                ds.texture_atlas(), ds.background())
+    assert "FeatE" in bundle["state"].g_params
+    step = st.make_train_step(opt, bundle["renderer"], bundle["disc"],
+                              bundle["vgg_params"], bundle["g_tx"],
+                              bundle["d_tx"])
+    mesh = make_mesh()
+    state_sh = replicate(mesh, bundle["state"])
+    batch_sh = shard_batch(mesh, batch_np)
+    state1, metrics = step(state_sh, batch_sh)
+    for v in metrics.values():
+        assert np.isfinite(float(v))
