@@ -49,22 +49,24 @@ def texture_warp(tex: jnp.ndarray, uv: jnp.ndarray, probs: jnp.ndarray,
         from .pallas_warp2 import (_TILE, pallas_warp_supported,
                                    texture_warp_pallas)
         T = tex.shape[2]
+        ext = _TILE
         if (2 <= T < _TILE and tex.shape[3] == T
                 and (uv.shape[1] * uv.shape[2]) % 1024 == 0
                 and uv.shape[3] == P):
             # Small tiles (e.g. --tex_tile 64) zero-pad up to the kernel's
-            # native 128 edge. Exact under align_corners sampling: with
-            # uv' = uv*(T-1)/(_TILE-1) the texel position u'*(_TILE-1)
-            # equals u*(T-1), and the padded texels only ever receive
-            # bilinear weight 0 (UV is in [0,1], so x <= T-1). Without
-            # this, sub-128 tiles silently fell to the XLA gather path —
-            # measured 12x slower end-to-end at 512px/tile 64.
+            # native 128 edge; the kernel samples/clips on the effective
+            # (T-1) grid via `ext`, so the padded op is BIT-IDENTICAL to
+            # the unpadded one (values and gradients; no uv rescale, no
+            # double rounding). Without the pad, sub-128 tiles silently
+            # fell to the XLA gather path — measured 12x slower end-to-end
+            # at 512px/tile 64.
             pad = _TILE - T
             tex = jnp.pad(tex, ((0, 0), (0, 0), (0, pad), (0, pad), (0, 0)))
-            uv = uv * ((T - 1) / (_TILE - 1))
+            ext = T
         if pallas_warp_supported(tex, uv):
             kk = k if 0 < k <= P else P
-            return texture_warp_pallas(tex, uv, probs, kk, block_parts, eps)
+            return texture_warp_pallas(tex, uv, probs, kk, block_parts,
+                                       eps, ext)
     if 0 < k < P:
         return texture_warp_topk(tex, uv, probs, k=k, eps=eps)
     if eps > 0.0:

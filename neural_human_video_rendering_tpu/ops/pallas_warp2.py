@@ -192,18 +192,27 @@ def _to_planes(tex, uv, probs, k, block_parts=0, eps=0.0):
         v.astype(jnp.float32), w.astype(jnp.float32), (B, P, C, H, W, NB)
 
 
-def _coords(u_row, v_row):
-    """(1,128) uv rows -> integer taps + fractional weights (all (1,128))."""
-    x = u_row * (_TILE - 1)
-    y = v_row * (_TILE - 1)
+def _coords(u_row, v_row, ext=_TILE):
+    """(1,128) uv rows -> integer taps + fractional weights (all (1,128)).
+
+    `ext` is the EFFECTIVE tile edge: sub-128 tiles are zero-padded up to
+    the kernel's native 128 but sampled on their own (ext-1) grid with
+    clips at ext-1 — bit-identical coordinates/taps to the unpadded
+    reference for every uv in [0,1] (including the exact u=1.0 boundary,
+    where the clip keeps x1 off the padded texels). The earlier
+    rescale-uv approach (u*(T-1)/127, then *127 in-kernel) double-rounded
+    and could flip floor() cells at integer texels — harmless forward
+    (continuous) but a spurious duv discontinuity."""
+    x = u_row * (ext - 1)
+    y = v_row * (ext - 1)
     x0f = jnp.floor(x)
     y0f = jnp.floor(y)
     wx = x - x0f
     wy = y - y0f
-    x0 = jnp.clip(x0f.astype(jnp.int32), 0, _TILE - 1)
-    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, _TILE - 1)
-    y0 = jnp.clip(y0f.astype(jnp.int32), 0, _TILE - 1)
-    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, _TILE - 1)
+    x0 = jnp.clip(x0f.astype(jnp.int32), 0, ext - 1)
+    x1 = jnp.clip(x0f.astype(jnp.int32) + 1, 0, ext - 1)
+    y0 = jnp.clip(y0f.astype(jnp.int32), 0, ext - 1)
+    y1 = jnp.clip(y0f.astype(jnp.int32) + 1, 0, ext - 1)
     return x0, x1, y0, y1, wx, wy
 
 
@@ -225,7 +234,7 @@ def _col_masks(x0, x1):
 # resident and accumulates across parts
 # ----------------------------------------------------------------------
 
-def _fwd_kernel(u_ref, v_ref, w_ref, texT_ref, out_ref):
+def _fwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, out_ref):
     p = pl.program_id(2)
 
     @pl.when(p == 0)
@@ -244,7 +253,7 @@ def _fwd_kernel(u_ref, v_ref, w_ref, texT_ref, out_ref):
             u_row = u_all[r:r + 1, :]
             v_row = v_all[r:r + 1, :]
             w_row = w_all[r:r + 1, :]
-            x0, x1, y0, y1, wx, wy = _coords(u_row, v_row)
+            x0, x1, y0, y1, wx, wy = _coords(u_row, v_row, ext)
             m0, m1 = _col_masks(x0, x1)
             # fold the x-interpolation into ONE column mask: the forward
             # only needs top = v00*(1-wx)+v01*wx = sum(rT0 * mx), so per
@@ -268,7 +277,7 @@ def _fwd_kernel(u_ref, v_ref, w_ref, texT_ref, out_ref):
 # resident and accumulates across pixel blocks
 # ----------------------------------------------------------------------
 
-def _bwd_kernel(u_ref, v_ref, w_ref, texT_ref, g_ref,
+def _bwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, g_ref,
                 du_ref, dv_ref, dw_ref, dtexT_ref):
     nb = pl.program_id(2)
 
@@ -296,7 +305,7 @@ def _bwd_kernel(u_ref, v_ref, w_ref, texT_ref, g_ref,
             u_row = u_all[r:r + 1, :]
             v_row = v_all[r:r + 1, :]
             w_row = w_all[r:r + 1, :]
-            x0, x1, y0, y1, wx, wy = _coords(u_row, v_row)
+            x0, x1, y0, y1, wx, wy = _coords(u_row, v_row, ext)
             m0, m1 = _col_masks(x0, x1)
             # one-hot row masks (y-on-sublanes, slot-on-lanes) — same
             # orientation as the column masks, so no cross-lane reshape;
@@ -318,10 +327,10 @@ def _bwd_kernel(u_ref, v_ref, w_ref, texT_ref, g_ref,
                 bot = v10 * (1 - wx) + v11 * wx
                 samp = top * (1 - wy) + bot * wy
                 gw = g_row * w_row
-                # d/duv (chain through x = u*(T-1), y = v*(T-1))
+                # d/duv (chain through x = u*(ext-1), y = v*(ext-1))
                 du_acc += gw * ((v01 - v00) * (1 - wy) + (v11 - v10) * wy) \
-                    * (_TILE - 1)
-                dv_acc += gw * (bot - top) * (_TILE - 1)
+                    * (ext - 1)
+                dv_acc += gw * (bot - top) * (ext - 1)
                 dw_acc += g_row * samp
                 # dtexT[c', y] += sum_l m_x[c', l] * coef[l] * oh_y[l, y]
                 c00 = gw * (1 - wx) * (1 - wy)
@@ -364,10 +373,10 @@ def _kernel_cost(dims):
                            transcendentals=0)
 
 
-def _fwd_call(texT, u, v, w, dims):
+def _fwd_call(texT, u, v, w, dims, ext=_TILE):
     B, P, C, H, W, NB = dims
     out = pl.pallas_call(
-        _fwd_kernel,
+        functools.partial(_fwd_kernel, ext),
         grid=(B, NB, P),
         cost_estimate=_kernel_cost(dims),
         in_specs=[
@@ -394,13 +403,13 @@ def _fwd_call(texT, u, v, w, dims):
     return out
 
 
-def _bwd_call(texT, u, v, w, g_planes, dims):
+def _bwd_call(texT, u, v, w, g_planes, dims, ext=_TILE):
     B, P, C, H, W, NB = dims
     blk = pl.BlockSpec((None, None, None, _BLK_ROWS, _BLK_LANES),
                        lambda b, p, nb: (b, p, nb, 0, 0),
                        memory_space=pltpu.VMEM)
     du, dv, dw, dtexT = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, ext),
         grid=(B, P, NB),
         cost_estimate=_kernel_cost(dims),
         in_specs=[
@@ -433,27 +442,30 @@ def _bwd_call(texT, u, v, w, g_planes, dims):
 # public op with custom VJP
 # ----------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
 def texture_warp_pallas(tex: jnp.ndarray, uv: jnp.ndarray,
                         probs: jnp.ndarray, k: int = 4,
                         block_parts: int = 0,
-                        eps: float = 0.0) -> jnp.ndarray:
+                        eps: float = 0.0,
+                        ext: int = _TILE) -> jnp.ndarray:
     """Fused Pallas texture warp. Same contract as texture_warp_topk.
 
     block_parts caps active parts per kernel block (LOSSY, opt-in only);
     eps drops sub-eps blend weights (bounded error <= k*eps per pixel,
     engages the kernel's all-zero-block skip on trained checkpoints) —
-    see _topk_dense_weights for both.
+    see _topk_dense_weights for both. ext is the effective tile edge for
+    zero-padded sub-128 tiles (see _coords): uv samples the (ext-1) grid
+    exactly, so the padded path is bit-identical to the unpadded op.
     """
-    out, _ = _texture_warp_fwd(tex, uv, probs, k, block_parts, eps)
+    out, _ = _texture_warp_fwd(tex, uv, probs, k, block_parts, eps, ext)
     return out
 
 
-def _texture_warp_fwd(tex, uv, probs, k, block_parts=0, eps=0.0):
+def _texture_warp_fwd(tex, uv, probs, k, block_parts=0, eps=0.0, ext=_TILE):
     B, P, Ht, Wt, C = tex.shape
     H, W = uv.shape[1], uv.shape[2]
     texT, u, v, w, dims = _to_planes(tex, uv, probs, k, block_parts, eps)
-    out_planes = _fwd_call(texT, u, v, w, dims)           # (B,NB,C,8,128)
+    out_planes = _fwd_call(texT, u, v, w, dims, ext)      # (B,NB,C,8,128)
     out = jnp.moveaxis(out_planes.reshape(B, H * W // _BLK, C, _BLK),
                        2, 3).reshape(B, H, W, C)
     # residuals are the plane-layout tensors: the backward then skips the
@@ -464,7 +476,7 @@ def _texture_warp_fwd(tex, uv, probs, k, block_parts=0, eps=0.0):
     return out, (texT, u, v, w, dims, dtype_tokens)
 
 
-def _texture_warp_bwd(k, block_parts, eps, res, g):
+def _texture_warp_bwd(k, block_parts, eps, ext, res, g):
     texT, u, v, w, dims, dtype_tokens = res
     tex_dt, uv_dt, probs_dt = (t.dtype for t in dtype_tokens)
     B, P, C, H, W, NB = dims
@@ -472,7 +484,7 @@ def _texture_warp_bwd(k, block_parts, eps, res, g):
     g_planes = jnp.moveaxis(
         g.reshape(B, NB, _BLK, C).astype(jnp.float32), 3, 2
     ).reshape(B, NB, C, _BLK_ROWS, _BLK_LANES)
-    du_p, dv_p, dw_p, dtexT = _bwd_call(texT, u, v, w, g_planes, dims)
+    du_p, dv_p, dw_p, dtexT = _bwd_call(texT, u, v, w, g_planes, dims, ext)
 
     # planes -> original layouts
     def planes_to_bhwp(x):

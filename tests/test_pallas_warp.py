@@ -225,33 +225,31 @@ def test_topk_kernel_matches_dense_weights():
         np.testing.assert_array_equal(got, ref, err_msg=f"k={k} cap={cap}")
 
 
-def test_small_tile_pad_rescale_is_exact():
-    """Sub-128 tiles ride the kernel via zero-pad + UV rescale (dispatch);
-    under align_corners sampling the transform is exact up to float
-    rounding (u*(63/127)*127 vs u*63): padded texels only ever get
-    bilinear weight ~0. Verified against the tile-64 reference,
-    values and all three gradients (chain rule through pad/rescale)."""
+def test_small_tile_pad_is_bit_exact():
+    """Sub-128 tiles ride the kernel via zero-pad + the `ext` effective
+    tile edge: the kernel samples and CLIPS on the (T-1) grid, so the
+    padded op is bit-identical to the unpadded reference — values and all
+    three gradients, arbitrary uv (no boundary-safe dance needed; the old
+    uv-rescale dispatch double-rounded and could flip floor() cells)."""
     from neural_human_video_rendering_tpu.ops.grid_sample import (
         texture_warp_reference)
     from neural_human_video_rendering_tpu.ops.pallas_warp2 import _TILE
 
     tex, uv, probs = _inputs(T=64, seed=7)
+    # include exact texel boundaries and the u=1.0 edge in the probe set
+    uv = uv.at[0, 0, 0].set(1.0).at[0, 0, 1].set(31.0 / 63.0)
     ref = texture_warp_reference(tex, uv, probs)
+    k = tex.shape[1]
 
     def padded(fn, t, u, p):
         pad = _TILE - t.shape[2]
         tp = jnp.pad(t, ((0, 0), (0, 0), (0, pad), (0, pad), (0, 0)))
-        up = u * ((t.shape[2] - 1) / (_TILE - 1))
-        return fn(tp, up, p)
+        return fn(tp, u, p)
 
-    out = padded(texture_warp_reference, tex, uv, probs)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
-
-    # the kernel itself on the padded inputs (interpret mode off-TPU)
-    k = tex.shape[1]
-    out_k = padded(lambda t, u, p: texture_warp_pallas(t, u, p, k),
+    out_k = padded(lambda t, u, p: texture_warp_pallas(t, u, p, k, 0, 0.0,
+                                                       tex.shape[2]),
                    tex, uv, probs)
-    np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(out_k), np.asarray(ref), atol=2e-6)
 
     def loss(fn):
         return lambda t, u, p: jnp.mean(fn(t, u, p) ** 2)
@@ -259,8 +257,23 @@ def test_small_tile_pad_rescale_is_exact():
     gr = jax.grad(loss(texture_warp_reference), argnums=(0, 1, 2))(
         tex, uv, probs)
     gp = jax.grad(loss(lambda t, u, p: padded(
-        lambda tp, up, pp: texture_warp_pallas(tp, up, pp, k), t, u, p)),
+        lambda tp, up, pp: texture_warp_pallas(tp, up, pp, k, 0, 0.0,
+                                               tex.shape[2]), t, u, p)),
         argnums=(0, 1, 2))(tex, uv, probs)
     for name, a, b in zip(("dtex", "duv", "dprobs"), gr, gp):
-        np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=1e-5,
-                                   err_msg=name)
+        # dtex of the padded op has extra zero rows/cols; compare the live
+        # region
+        a_np, b_np = np.asarray(a), np.asarray(b)
+        if name == "dtex":
+            b_np = b_np[:, :, :a_np.shape[2], :a_np.shape[3]]
+        np.testing.assert_allclose(b_np, a_np, atol=1e-5, err_msg=name)
+
+
+def test_dispatch_small_tile_matches_topk_exactly(monkeypatch):
+    """The full dispatch path (pad + ext) vs the XLA top-k at tile 64."""
+    from neural_human_video_rendering_tpu.ops import pallas_warp as pw
+    tex, uv, probs = _inputs(T=64, seed=11)
+    monkeypatch.setattr(pw, "_PALLAS_OK", True)
+    out = pw.texture_warp(tex, uv, probs, use_pallas=True, k=3)
+    ref = texture_warp_topk(tex, uv, probs, 3)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)

@@ -80,15 +80,12 @@ def main():
     from neural_human_video_rendering_tpu.ops.pallas_warp import texture_warp
     T64 = 64
     tex64 = jax.random.uniform(k1, (B, P, T64, T64, C), jnp.float32)
-    # boundary-safe uv: the pad-to-128 dispatch rescales uv by
-    # (T-1)/127 before the kernel multiplies by 127; float rounding can
-    # flip floor() when u*(T-1) sits within eps of an integer texel —
-    # forward is continuous there but duv is not, so random uv produces
-    # spurious large grad diffs. Keep every sample >=0.05 texel away
-    # from integer boundaries: rounding error (~1e-5) can't flip cells.
-    cell = jax.random.randint(k2, (B, H, W, P, 2), 0, T64 - 1)
-    frac = 0.05 + 0.9 * jax.random.uniform(k3, (B, H, W, P, 2))
-    uv64 = (cell.astype(jnp.float32) + frac) / (T64 - 1)
+    # the dispatch passes the effective tile edge (`ext`) into the kernel,
+    # which samples and clips on the (T-1) grid directly — the padded op
+    # is bit-identical to the unpadded reference for ARBITRARY uv (the
+    # old uv-rescale dispatch double-rounded and flipped floor() cells at
+    # integer texels, which forced boundary-safe uv here)
+    uv64 = uv
     ref64 = jax.jit(gs.texture_warp_reference)(tex64, uv64, probs)
     out64 = jax.jit(lambda t, u, p: texture_warp(t, u, p, True, P, 0))(
         tex64, uv64, probs)
