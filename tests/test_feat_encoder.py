@@ -4,6 +4,9 @@ Region map = DensePose part map (documented adaptation — the human-video
 data contract has no object instance maps)."""
 
 import dataclasses
+import os
+
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -121,3 +124,54 @@ def test_kmeans_tool():
     assert got[0] < -3 and got[1] > 3
     # degenerate: fewer points than clusters still yields k centers
     assert kmeans(x[:1].astype(np.float32), 4).shape == (4, 2)
+
+
+@pytest.mark.slow
+def test_encode_features_cli_roundtrip(tiny_opt, tmp_path, monkeypatch):
+    """tools/encode_features.py end to end on a tiny corpus: train one
+    checkpoint with E, encode + cluster codes, and render through the
+    cluster path with the produced npz."""
+    import sys as _sys
+    from corpus import make_corpus
+    c = make_corpus(str(tmp_path / "data"), n=6, size=32)
+
+    small = ("--loadSize 32 --tex_tile 16 --ngf 4 --ngf_global 4 --ndf 4 "
+             "--n_blocks_translate 1 --n_downsample_translate 1 "
+             "--n_blocks_global 1 --n_downsample_global 1 --n_blocks_bg 1 "
+             "--n_downsample_bg 1 --nef 4 --n_downsample_E 1 "
+             "--dtype float32").split()
+    data = ["--pose_path", c["openpose_json"], "--img_path", c["frames"],
+            "--densepose_path", c["densepose"], "--mask_path", c["mask"],
+            "--bg_path", c["bg.jpg"], "--texture_path", c["texture.jpg"],
+            "--no_flip", "--resize_or_crop", "resize"]
+    ckpt_dir = str(tmp_path / "ckpt")
+
+    import train as train_cli
+    monkeypatch.setattr(_sys, "argv", ["train.py", "--name", "fe",
+        "--checkpoints_dir", ckpt_dir, "--batchSize", "2", "--niter", "1",
+        "--no_decay", "--save_epoch_freq", "1", "--print_freq", "100",
+        "--no_vgg_loss", "--lambda_Temp", "0", "--use_densepose_loss",
+        "--instance_feat"] + data + small)
+    train_cli.main()
+
+    _sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))), "tools"))
+    import encode_features as ef
+    out_npz = str(tmp_path / "feats.npz")
+    monkeypatch.setattr(_sys, "argv", ["encode_features.py", "--out",
+        out_npz, "--max_frames", "4", "--n_clusters", "3", "--name", "fe",
+        "--checkpoints_dir", ckpt_dir, "--instance_feat"] + data + small)
+    ef.main()
+    centers = np.load(out_npz)["centers"]
+    assert centers.shape == (3, 25, 3)
+    assert np.isfinite(centers).all()
+
+    import test as test_cli
+    monkeypatch.setattr(_sys, "argv", ["test.py", "--name", "fe",
+        "--checkpoints_dir", ckpt_dir, "--pose_path", c["openpose_json"],
+        "--results_dir", str(tmp_path / "out"), "--how_many", "2",
+        "--instance_feat", "--load_features", out_npz,
+        "--cluster_idx", "1"] + small)
+    test_cli.main()
+    outs = os.listdir(str(tmp_path / "out" / "images"))
+    assert any(f.endswith(".jpg") or f.endswith(".png") for f in outs)
