@@ -53,6 +53,24 @@ def main():
     from neural_human_video_rendering_tpu.runtime import setup_jax
     setup_jax()
     import jax
+
+    # bounded backend init: a dead TPU relay makes jax.devices() block
+    # forever (observed: the relay agent died mid-round and every client
+    # hung pre-upload). Fail loudly instead of hanging the driver.
+    import threading
+
+    def _die():
+        print("bench: TPU backend init exceeded 15 min — relay down? "
+              "aborting", file=sys.stderr, flush=True)
+        import os as _os
+        _os._exit(3)
+
+    _wd = threading.Timer(900.0, _die)
+    _wd.daemon = True
+    _wd.start()
+    jax.devices()
+    _wd.cancel()
+
     import jax.numpy as jnp
 
     from neural_human_video_rendering_tpu.config import Options
