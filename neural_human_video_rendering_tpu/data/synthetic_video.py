@@ -171,10 +171,14 @@ def fit_canvas_joints(all_joints: np.ndarray, size: int,
 
 
 def write_corpus(out_dir: str, joints_seq: np.ndarray, size: int = 512,
-                 tile: int = 64, laplace_ch: int = 0) -> Dict[str, str]:
+                 tile: int = 64, laplace_ch: int = 0,
+                 cuts=()) -> Dict[str, str]:
     """Write the full reference data-contract tree for a joint sequence.
 
     joints_seq: (N, 18, 3) in canvas coordinates. Returns path dict.
+    cuts: frame indices where the sequence restarts (multi-person pools:
+    person boundaries) — the pairwise flow there is zeroed instead of
+    computed across unrelated identities.
     """
     import cv2
 
@@ -212,7 +216,8 @@ def write_corpus(out_dir: str, joints_seq: np.ndarray, size: int = 512,
         kp.write_keypoint_json(
             os.path.join(kp_d, f"frame{i:05d}_keypoints.json"), body25)
         if prev is not None:
-            fl = limb_flow(joints, prev, limb)
+            fl = (np.zeros((size, size, 2), np.float32) if i in cuts
+                  else limb_flow(joints, prev, limb))
             for dd, arr in ((flow_d, fl), (flowi_d, -fl)):
                 with open(os.path.join(dd, f"frame{i - 1:05d}.flo"), "wb") as f:
                     f.write(np.float32(202021.25).tobytes())
@@ -240,3 +245,32 @@ def load_reference_joints(keypoints_dir: str, size: int) -> np.ndarray:
     """All reference keypoint JSONs -> (N, 18, 3) fit to the canvas."""
     _, joints = kp.load_pose_dir(keypoints_dir)
     return fit_canvas_joints(joints.astype(np.float32), size)
+
+
+def person_variant(joints_seq: np.ndarray, size: int, seed: int
+                   ) -> np.ndarray:
+    """Deterministic per-identity body variation for multi-person pools.
+
+    Stage-1 pretraining is person-AGNOSTIC in the reference
+    (pretrainTrans.sh pools keypoints/masks/densepose across people); the
+    fabricated corpus expresses that by re-proportioning the driving
+    sequence per identity: global scale + horizontal offset + per-limb
+    length scaling about the neck anchor, clamped to the canvas. seed=0
+    returns the sequence unchanged.
+    """
+    if seed == 0:
+        return joints_seq
+    rng = np.random.RandomState(seed)
+    scale = 0.8 + 0.3 * rng.rand()
+    dx = (rng.rand() - 0.5) * 0.2 * size
+    limb_scale = 0.85 + 0.3 * rng.rand(18).astype(np.float32)
+    out = joints_seq.copy()
+    has = out[..., 2] > 0
+    anchor = out[:, 1:2, :2]                     # neck, (N,1,2)
+    rel = out[..., :2] - anchor
+    rel *= scale * limb_scale[None, :, None]
+    out[..., :2] = anchor + rel
+    out[..., 0] += dx
+    out[..., 0] = np.where(has, np.clip(out[..., 0], 0, size - 1), 0)
+    out[..., 1] = np.where(has, np.clip(out[..., 1], 0, size - 1), 0)
+    return out

@@ -155,3 +155,33 @@ def test_batchloader_multihost_sharding(tiny_opt):
     loader = BatchLoader(ds, 2, shuffle=True, seed=5)
     got = [int(x) for b in loader for x in b["index"]]
     assert sorted(got) == list(range(12))
+
+
+def test_multi_person_pool_variants_and_cuts(tmp_path):
+    """--people N pools deterministic body-proportion variants with zeroed
+    flow at identity boundaries (person-agnostic stage-1 corpus,
+    pretrainTrans.sh's multi-person intent)."""
+    import numpy as np
+    from neural_human_video_rendering_tpu.data import synthetic_video as sv
+
+    base = sv.load_reference_joints("/root/reference/keypoints", 64)[:4]
+    v0 = sv.person_variant(base, 64, 0)
+    v1 = sv.person_variant(base, 64, 1)
+    v1b = sv.person_variant(base, 64, 1)
+    np.testing.assert_array_equal(v0, base)          # seed 0 = identity
+    np.testing.assert_array_equal(v1, v1b)           # deterministic
+    assert np.abs(v1[..., :2] - base[..., :2]).max() > 1.0   # really varies
+    assert v1[..., :2].max() <= 63 and v1[..., :2].min() >= 0
+    np.testing.assert_array_equal(v1[..., 2], base[..., 2])  # conf untouched
+
+    out = tmp_path / "pool"
+    joints = np.concatenate([v0, v1])
+    sv.write_corpus(str(out), joints, size=64, tile=32, cuts=(4,))
+    # flow file at the boundary (frame 3 -> 4 pair, file frame00003) is zero
+    import struct
+    raw = open(out / "flow" / "frame00003.flo", "rb").read()
+    fl = np.frombuffer(raw[12:], np.float32)
+    assert np.all(fl == 0)
+    # a within-person flow file is not all zero
+    raw2 = open(out / "flow" / "frame00001.flo", "rb").read()
+    assert np.abs(np.frombuffer(raw2[12:], np.float32)).max() > 0

@@ -28,6 +28,10 @@ def main():
                    help="driving OpenPose JSON dir (reference demo corpus)")
     p.add_argument("--repeat", type=int, default=1,
                    help="loop the sequence N times for a longer corpus")
+    p.add_argument("--people", type=int, default=1,
+                   help="pool N body-proportion variants of the sequence "
+                        "(person-agnostic stage-1 pretraining corpus, "
+                        "pretrainTrans.sh's multi-person intent)")
     p.add_argument("--laplace_ch", type=int, default=0)
     a = p.parse_args()
 
@@ -37,9 +41,14 @@ def main():
     joints = sv.load_reference_joints(a.keypoints, a.size)
     if a.repeat > 1:
         joints = np.concatenate([joints] * a.repeat)
+    cuts = ()
+    if a.people > 1:
+        pool = [sv.person_variant(joints, a.size, p_) for p_ in range(a.people)]
+        cuts = tuple(len(joints) * p_ for p_ in range(1, a.people))
+        joints = np.concatenate(pool)
     os.makedirs(a.out, exist_ok=True)
     paths = sv.write_corpus(a.out, joints, size=a.size, tile=a.tile,
-                            laplace_ch=a.laplace_ch)
+                            laplace_ch=a.laplace_ch, cuts=cuts)
     print(f"wrote {len(joints)} frames -> {a.out}")
     for k, v in sorted(paths.items()):
         print(f"  {k}: {v}")
