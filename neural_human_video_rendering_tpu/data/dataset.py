@@ -236,9 +236,8 @@ class FrameDataset:
                             len(self.dp_names) or None,
                             len(self.lap_names) or None,
                             opt.max_dataset_size] if x)
-        assert n < opt.max_dataset_size or any(
-            (self.pose_names, self.pose_img_names, self.img_names,
-             self.mask_names, self.dp_names, self.lap_names)), \
+        assert any((self.pose_names, self.pose_img_names, self.img_names,
+                    self.mask_names, self.dp_names, self.lap_names)), \
             "FrameDataset built with no per-frame modality directories"
         idx = np.arange(n)
         split = int(round(n * opt.data_ratio))
@@ -264,6 +263,22 @@ class FrameDataset:
         self._geom = (canvas_geom(opt.resize_or_crop, *self._canvas, self.size)
                       if self._canvas else None)
         self._scale_width = opt.resize_or_crop.startswith("scale_width")
+
+        # sequence-cut sidecar (multi-person pools / scene cuts): frames
+        # listed in {corpus_root}/cuts.json restart the sequence and get
+        # frame-0 semantics — self-paired temporal sample, zero flow —
+        # instead of pairing across unrelated identities
+        self.cuts: set = set()
+        for d_ in (opt.pose_path, opt.img_path, opt.mask_path,
+                   opt.densepose_path):
+            if d_ and os.path.isdir(d_):
+                cj = os.path.join(os.path.dirname(d_.rstrip("/")),
+                                  "cuts.json")
+                if os.path.isfile(cj):
+                    import json as _json
+                    with open(cj) as f:
+                        self.cuts = set(_json.load(f).get("cuts", []))
+                break
 
         self._bg_full: Optional[np.ndarray] = None
         if ((self.crop or self.flip) and opt.bg_path
@@ -346,7 +361,7 @@ class FrameDataset:
         opt = self.opt
         out: Dict[str, np.ndarray] = {"index": np.int32(i)}
         out["joints"] = self._pose(i)
-        prev = max(i - 1, 0)
+        prev = i if i in self.cuts else max(i - 1, 0)
         out["joints_prev"] = self._pose(prev)
         if self.pose_img_names:
             out["pose_img"] = self._image(
@@ -382,15 +397,14 @@ class FrameDataset:
         if self.crop:
             out = self._apply_crop(out, rng, flipped)
         elif self.flip and self._bg_full is not None:
-            # per-sample bg so flipped samples see the mirrored background
-            # (keys must be batch-uniform, so unflipped samples carry the
-            # plain bg; costs per-sample BGNet only under flip configs)
-            bg = self._bg_full[:, ::-1] if flipped else self._bg_full
-            out["bg"] = np.ascontiguousarray(bg)
+            # 1-float flag: the renderer mirrors the shared refined
+            # background on device for flipped samples (keeps the batch-1
+            # BGNet path and avoids a frame-sized per-sample bg upload)
+            out["bg_flip"] = np.float32(1.0 if flipped else 0.0)
         return out
 
     def _frame_flow(self, names: List[str], d: str, i: int) -> np.ndarray:
-        if i == 0 or len(names) == 0:
+        if i == 0 or i in self.cuts or len(names) == 0:
             return np.zeros((self.size, self.size, 2), np.float32)
         j = min(i - 1, len(names) - 1)
         return self._flow(os.path.join(d, names[j]))

@@ -232,6 +232,14 @@ def write_corpus(out_dir: str, joints_seq: np.ndarray, size: int = 512,
             lap = np.zeros((size, size, laplace_ch), np.float32)
             np.save(os.path.join(lap_d, f"frame{i:05d}.npy"), lap)
 
+    if cuts:
+        # sidecar consumed by FrameDataset: frames listed here restart the
+        # sequence (multi-person pools) and get frame-0 semantics — self-
+        # paired temporal sample + zero flow — instead of pairing with the
+        # previous identity's last frame
+        import json
+        with open(os.path.join(out_dir, "cuts.json"), "w") as f:
+            json.dump({"cuts": sorted(int(c) for c in cuts)}, f)
     paths["bg.jpg"] = os.path.join(out_dir, "bg.jpg")
     imwrite_rgb(paths["bg.jpg"], (bg + 1) / 2)
     from . import texture_unfold as tu

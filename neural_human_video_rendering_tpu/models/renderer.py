@@ -69,7 +69,8 @@ class NeuralRenderer(nn.Module):
                  static_tex: jnp.ndarray,
                  tex_mask: Optional[jnp.ndarray] = None,
                  feat_image: Optional[jnp.ndarray] = None,
-                 cluster_feats: Optional[jnp.ndarray] = None
+                 cluster_feats: Optional[jnp.ndarray] = None,
+                 bg_flip: Optional[jnp.ndarray] = None
                  ) -> Dict[str, jnp.ndarray]:
         """Render one batch of frames.
 
@@ -90,6 +91,14 @@ class NeuralRenderer(nn.Module):
             codes per part (from tools/encode_features.py clustering);
             replaces E when no real frame exists. Both None under use_feat
             => zero codes (neutral; keeps param/channel shapes identical).
+          bg_flip: optional (B,) float flags from horizontal-flip
+            augmentation: samples with flag 1 composite against the
+            horizontally MIRRORED refined background. Shipping a 1-float
+            flag instead of a per-sample bg image keeps the batch-1
+            shared-asset path (BGNet runs once) and saves a frame-sized
+            upload per sample on throughput-bound links; the mirrored
+            sample's refined background is defined as the mirror of the
+            learned refined background.
 
         Returns dict: fake, fg, mask, probs, uv, logits, texture, bg_refined.
         """
@@ -160,6 +169,11 @@ class NeuralRenderer(nn.Module):
                                s2d=self.bg_s2d, pad_mode=self.pad_mode,
                                upsample_mode=self.upsample_mode,
                                dtype=self.dtype, name="BGNet")(bg)
+
+        if bg_flip is not None:
+            flag = bg_flip.reshape(-1, 1, 1, 1).astype(bg_refined.dtype)
+            bg_refined = (flag * bg_refined[:, :, ::-1, :]
+                          + (1.0 - flag) * bg_refined)
 
         mask = (1.0 - probs[..., :1])          # (B, H, W, 1) soft fg mask
         fake = mask * fg + (1.0 - mask) * bg_refined

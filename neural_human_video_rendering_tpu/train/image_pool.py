@@ -44,8 +44,20 @@ def pool_query(pool: jnp.ndarray, count: jnp.ndarray, key: jnp.ndarray,
     # element must not read a slot another element is writing this same
     # step (reads see the pre-update pool -> uninitialized zeros)
     valid = jnp.maximum(jnp.minimum(count, K), 1)
-    rand_idx = jnp.floor(
+    uni_idx = jnp.floor(
         jax.random.uniform(k_idx, (B,)) * valid).astype(jnp.int32)
+    if B <= K:
+        # distinct indices (random permutation prefix) once the pool is
+        # full: two swap lanes in one batch can then never collide on a
+        # pool slot — pix2pixHD's sequential per-element query cannot
+        # collide either, while a duplicate-index vectorized scatter would
+        # drop one fresh fake nondeterministically and feed D the same
+        # history image twice. The single boundary-crossing batch
+        # (valid < K) keeps independent draws over the valid prefix.
+        perm = jax.random.permutation(k_idx, K)[:B]
+        rand_idx = jnp.where(valid >= K, perm, uni_idx)
+    else:   # B > K: collisions unavoidable; independent draws
+        rand_idx = uni_idx
     coin = jax.random.uniform(k_coin, (B,)) < 0.5
 
     slot = count + jnp.arange(B)             # would-be insert positions

@@ -101,6 +101,11 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
             # batch B and BGNet runs per sample
             bg = batch["bg"]
 
+        # horizontal-flip bg flag (1 float/sample): renderer mirrors the
+        # shared refined background on device for flipped samples
+        flip_kw = ({"bg_flip": batch["bg_flip"]} if "bg_flip" in batch
+                   else {})
+
         if use_temporal and not real_prev:
             pose_prev = build_pose_input(opt, batch["joints_prev"],
                                          batch.get("laplace"),
@@ -115,6 +120,7 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
             # the symmetric gradient.
             prev_kw = ({"feat_image": batch.get("image_prev", real)}
                        if use_feat else {})
+            prev_kw.update(flip_kw)
             prev_det = jax.lax.stop_gradient(renderer.apply(
                 {"params": state.g_params}, pose_prev, bg, tex,
                 state.tex_mask, **prev_kw)["fake"])
@@ -127,7 +133,11 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
                 if use_feat:
                     kw2["feat_image"] = jnp.concatenate(
                         [real, batch.get("image_prev", real)], axis=0)
-                # per-sample bg (crop/flip modes) applies to both frames of
+                if flip_kw:
+                    # the pair shares its sample's mirror flag
+                    kw2["bg_flip"] = jnp.concatenate(
+                        [batch["bg_flip"], batch["bg_flip"]], axis=0)
+                # per-sample bg (crop modes) applies to both frames of
                 # the pair (same window/mirror) — tile it to the 2B batch
                 bg2 = (jnp.concatenate([bg, bg], axis=0)
                        if bg.shape[0] == B else bg)
@@ -137,6 +147,7 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
                 prev_fake = outs["fake"][B:]
             else:
                 kw1 = {"feat_image": real} if use_feat else {}
+                kw1.update(flip_kw)
                 cur = renderer.apply({"params": g_params}, pose, bg, tex,
                                      state.tex_mask, **kw1)
                 if real_prev:

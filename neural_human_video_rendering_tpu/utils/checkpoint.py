@@ -99,11 +99,20 @@ def _tolerant_from_state_dict(target: Any, raw: Any, label: str) -> Any:
         restored = fser.from_state_dict(target, raw)
         # flax's plain-dict restore can silently graft a checkpoint
         # subtree where the target has a leaf (it just returns `state`
-        # for unknown shapes) — only trust the fast path when the tree
-        # structure actually round-tripped
-        if (jax.tree.structure(restored) == jax.tree.structure(target)):
-            return restored
-    except ValueError:
+        # for unknown shapes) and never shape-checks leaves — only trust
+        # the fast path when the tree structure round-tripped AND every
+        # leaf kept its shape (the function's documented contract)
+        if jax.tree.structure(restored) == jax.tree.structure(target):
+            shapes_ok = all(
+                getattr(a, "shape", None) == getattr(b, "shape", None)
+                for a, b in zip(jax.tree.leaves(restored),
+                                jax.tree.leaves(target)))
+            if shapes_ok:
+                return restored
+    except (ValueError, AttributeError, TypeError, KeyError):
+        # e.g. AttributeError when the checkpoint holds a leaf where the
+        # new state expects a subtree (from_state_dict calls .keys() on
+        # the ndarray) — exactly the drift the merge path tolerates
         pass
 
     dropped = []

@@ -164,7 +164,8 @@ def test_multi_person_pool_variants_and_cuts(tmp_path):
     import numpy as np
     from neural_human_video_rendering_tpu.data import synthetic_video as sv
 
-    base = sv.load_reference_joints("/root/reference/keypoints", 64)[:4]
+    from conftest import REFERENCE_KEYPOINTS
+    base = sv.load_reference_joints(REFERENCE_KEYPOINTS, 64)[:4]
     v0 = sv.person_variant(base, 64, 0)
     v1 = sv.person_variant(base, 64, 1)
     v1b = sv.person_variant(base, 64, 1)

@@ -115,11 +115,15 @@ def test_dataset_flip_consistency(tiny_opt, tmp_path):
     assert not ds_eval.flip
 
 
-def test_flip_supplies_per_sample_background(tiny_opt, tmp_path):
-    """Flip configs with a bg asset must ship per-sample backgrounds so a
-    mirrored sample composites (and is supervised) against the MIRRORED
-    background (review finding r2: the unflipped shared asset made every
-    background pixel's loss target wrong for flipped samples)."""
+def test_flip_supplies_bg_flip_flag_and_renderer_mirrors(tiny_opt, tmp_path):
+    """Flip configs with a bg asset ship a 1-float mirror flag per sample
+    (not a frame-sized bg copy): a mirrored sample must composite (and be
+    supervised) against the MIRRORED background — the unflipped shared
+    asset made every background pixel's loss target wrong for flipped
+    samples — while the renderer keeps the batch-1 BGNet path and mirrors
+    the refined background on device."""
+    import jax
+    import jax.numpy as jnp
     c = make_corpus(str(tmp_path), n=8, size=32)
     bg_path = c.get("bg.jpg")
     assert bg_path and os.path.isfile(bg_path)
@@ -130,16 +134,37 @@ def test_flip_supplies_per_sample_background(tiny_opt, tmp_path):
     ds = dsm.FrameDataset(opt, "train")
     ds_plain = dsm.FrameDataset(dataclasses.replace(opt, no_flip=True),
                                 "train")
-    bg_ref = ds_plain._image(bg_path)
-    saw_flip = False
+    saw_flip = saw_plain = False
     for i in range(len(ds)):
         s, p = ds[i], ds_plain[i]
-        assert "bg" in s, "flip config must carry per-sample bg"
+        assert "bg" not in s            # no per-sample bg upload
+        assert "bg_flip" in s
         if np.array_equal(s["image"], p["image"]):
-            np.testing.assert_array_equal(s["bg"], bg_ref)
+            saw_plain = True
+            assert s["bg_flip"] == 0.0
         else:
             saw_flip = True
-            np.testing.assert_array_equal(s["bg"], bg_ref[:, ::-1])
-    assert saw_flip
-    # --no_flip keeps the shared-asset fast path (no per-sample bg)
-    assert "bg" not in ds_plain[0]
+            assert s["bg_flip"] == 1.0
+    assert saw_flip and saw_plain
+    # --no_flip: no flag at all (shared-asset path untouched)
+    assert "bg_flip" not in ds_plain[0]
+
+    # renderer semantics: flag=1 composites against the mirrored refined bg
+    from neural_human_video_rendering_tpu.models.renderer import \
+        renderer_from_options
+    ropt = dataclasses.replace(opt, loadSize=32, tex_tile=16, ngf=4,
+                               ngf_global=4, n_blocks_translate=1,
+                               n_downsample_translate=1, n_blocks_global=1,
+                               n_downsample_global=1, n_blocks_bg=1,
+                               n_downsample_bg=1, dtype="float32")
+    r = renderer_from_options(ropt)
+    pose = jnp.zeros((2, 32, 32, ropt.pose_nc))
+    bg = jnp.asarray(np.random.RandomState(0).rand(1, 32, 32, 3),
+                     jnp.float32) * 2 - 1
+    tex = jnp.zeros((1, ropt.n_parts, 16, 16, 3))
+    params = r.init(jax.random.PRNGKey(0), pose, bg, tex)["params"]
+    out = r.apply({"params": params}, pose, bg, tex,
+                  bg_flip=jnp.asarray([0.0, 1.0]))
+    bgr = out["bg_refined"]
+    np.testing.assert_allclose(np.asarray(bgr[1]),
+                               np.asarray(bgr[0][:, ::-1]), atol=1e-6)
