@@ -396,10 +396,14 @@ class FrameDataset:
             out = self._apply_flip(out)
         if self.crop:
             out = self._apply_crop(out, rng, flipped)
-        elif self.flip and self._bg_full is not None:
+        elif self.flip:
             # 1-float flag: the renderer mirrors the shared refined
             # background on device for flipped samples (keeps the batch-1
-            # BGNet path and avoids a frame-sized per-sample bg upload)
+            # BGNet path and avoids a frame-sized per-sample bg upload).
+            # Emitted whenever flip is on — the renderer's mirror applies to
+            # whatever background the train state holds (bg_path file OR a
+            # synthetic/derived bg), so flipped samples are never supervised
+            # against an un-mirrored background.
             out["bg_flip"] = np.float32(1.0 if flipped else 0.0)
         return out
 

@@ -87,24 +87,43 @@ def run_inference(opt, batch_size: Optional[int] = None,
     if batch_size is None:
         batch_size = max(1, opt.infer_batch)
 
-    # driving keypoints (+ optional alignment to the target person)
+    # driving poses: keypoint JSONs (rasterized on device) OR a directory of
+    # pre-rendered pose images (the openpose_img contract FrameDataset also
+    # honors, dataset.py:217-223) — a model trained on pose images must be
+    # driven with pose images, not a differently-rendered skeleton
+    pose_img_names: list = []
     names, joints = kp.load_pose_dir(opt.pose_path)
-    if opt.pose_tgt_path and os.path.isdir(opt.pose_tgt_path):
-        s, t = pose_align.fit_scale_translation(
-            opt.pose_tgt_path, opt.pose_path,
-            target_shape=_target_canvas(opt),
-            source_shape=opt.parse_shape(opt.source_shape))
-        joints = joints.copy()
-        has = joints[..., 2] > 0
-        joints[..., 0] = np.where(has, s * joints[..., 0] + t[0], joints[..., 0])
-        joints[..., 1] = np.where(has, s * joints[..., 1] + t[1], joints[..., 1])
-        print(f"[align] scale {s:.3f}, translation {t}", flush=True)
-    canvas = _target_canvas(opt)
-    if canvas is None and opt.pose_tgt_path and os.path.isdir(opt.pose_tgt_path):
-        _, hi = pose_align.corpus_extent(opt.pose_tgt_path)
-        if np.all(np.isfinite(hi)):
-            canvas = (float(hi[1]), float(hi[0]))       # (H, W) from extent
-    joints = map_driving_joints(opt, joints, canvas)
+    if not names:
+        pose_img_names = dsm.list_images(opt.pose_path)
+        if not pose_img_names:
+            raise FileNotFoundError(
+                f"--pose_path {opt.pose_path!r} contains neither keypoint "
+                "JSONs nor pose images")
+        names = pose_img_names
+        joints = np.zeros((len(names), kp.N_COCO18, 3), np.float32)
+        if opt.pose_tgt_path:
+            print("[align] WARNING: --pose_tgt_path ignored — pose-image "
+                  "driving cannot be retargeted (alignment needs keypoints)",
+                  flush=True)
+        print(f"[pose] driving with {len(names)} pre-rendered pose images",
+              flush=True)
+    if not pose_img_names:      # alignment applies to keypoints only
+        if opt.pose_tgt_path and os.path.isdir(opt.pose_tgt_path):
+            s, t = pose_align.fit_scale_translation(
+                opt.pose_tgt_path, opt.pose_path,
+                target_shape=_target_canvas(opt),
+                source_shape=opt.parse_shape(opt.source_shape))
+            joints = joints.copy()
+            has = joints[..., 2] > 0
+            joints[..., 0] = np.where(has, s * joints[..., 0] + t[0], joints[..., 0])
+            joints[..., 1] = np.where(has, s * joints[..., 1] + t[1], joints[..., 1])
+            print(f"[align] scale {s:.3f}, translation {t}", flush=True)
+        canvas = _target_canvas(opt)
+        if canvas is None and opt.pose_tgt_path and os.path.isdir(opt.pose_tgt_path):
+            _, hi = pose_align.corpus_extent(opt.pose_tgt_path)
+            if np.all(np.isfinite(hi)):
+                canvas = (float(hi[1]), float(hi[0]))   # (H, W) from extent
+        joints = map_driving_joints(opt, joints, canvas)
 
     n = len(names) if max_frames is None else min(len(names), max_frames)
     n = min(n, opt.how_many)
@@ -207,8 +226,13 @@ def run_inference(opt, batch_size: Optional[int] = None,
                 lp.load_laplace(os.path.join(opt.lapalce_path,
                                              lap_files[min(i, len(lap_files) - 1)]),
                                 S, opt.laplace_nc) for i in padded])))
+        pimg = None
+        if pose_img_names:
+            pimg = put_batch(jnp.asarray(np.stack([
+                dsm.load_image(os.path.join(opt.pose_path, pose_img_names[i]),
+                               S) for i in padded])))
         pending.append((sel, fwd(g_params, (state.static_tex, state.bg,
-                                            state.tex_mask), jb, lap)))
+                                            state.tex_mask), jb, lap, pimg)))
         if len(pending) > 1:
             drain_one()
     while pending:

@@ -62,7 +62,11 @@ def pool_query(pool: jnp.ndarray, count: jnp.ndarray, key: jnp.ndarray,
 
     slot = count + jnp.arange(B)             # would-be insert positions
     filling = slot < K                       # element goes into an empty slot
-    use_hist = coin & ~filling               # full pool + heads -> play back
+    # `count > 0` guards the B > K overflow lanes: on the very first batch
+    # of an over-sized batch (count==0, slot>=K) `filling` is False but the
+    # pool holds no initialized entries yet — playing back would feed D
+    # all-zero images. Those lanes train on the fresh fake instead.
+    use_hist = coin & ~filling & (count > 0)  # full pool + heads -> play back
 
     bcast = (slice(None), None, None, None)
     returned = jnp.where(use_hist[bcast], pool[rand_idx], imgs)

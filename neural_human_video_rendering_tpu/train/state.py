@@ -12,7 +12,7 @@ become trained parameters (SURVEY.md §7 hard part 4).
 from __future__ import annotations
 
 import functools
-from typing import Any, Dict, Optional
+from typing import Any, Dict, NamedTuple, Optional
 
 import flax.struct
 import jax
@@ -41,24 +41,35 @@ class TrainState:
     pool_rng: Optional[jnp.ndarray] = None   # PRNG key
 
 
+class FreezeUntilState(NamedTuple):
+    """Step counter for freeze_scope_until. A distinct type (not a bare
+    array) so checkpoint restore can recognize it and fast-forward the
+    count from the restored global step — otherwise a tolerant resume
+    that drops the optimizer state would silently re-freeze the trunk
+    for another niter_fix_global epochs."""
+    count: jnp.ndarray
+
+
 def freeze_scope_until(scope: str, n_steps: int) -> optax.GradientTransformation:
-    """Zero gradients for every param whose path contains `scope` for the
-    first n_steps optimizer steps (pix2pixHD --niter_fix_global: with
-    --netG local, train only the enhancer branches first, then unfreeze the
-    global trunk). Placed BEFORE adam so trunk moments stay at zero while
-    frozen — unfreezing starts momentum-clean, matching pix2pixHD's
-    re-created optimizer."""
+    """Zero gradients for every param whose path has a component equal to
+    `scope` for the first n_steps optimizer steps (pix2pixHD
+    --niter_fix_global: with --netG local, train only the enhancer branches
+    first, then unfreeze the global trunk). Placed BEFORE adam so trunk
+    moments stay at zero while frozen — unfreezing starts momentum-clean,
+    matching pix2pixHD's re-created optimizer."""
     import flax.traverse_util as tu
 
     def init(params):
-        return jnp.zeros((), jnp.int32)
+        return FreezeUntilState(count=jnp.zeros((), jnp.int32))
 
-    def update(updates, count, params=None):
-        gate = (count >= n_steps).astype(jnp.float32)
+    def update(updates, state, params=None):
+        gate = (state.count >= n_steps).astype(jnp.float32)
         flat = tu.flatten_dict(updates)
-        flat = {k: (v * gate if any(scope in str(p) for p in k) else v)
+        # exact component match, not substring: a user module named e.g.
+        # "my_global_trunk_ext" must not be accidentally frozen
+        flat = {k: (v * gate if any(scope == str(p) for p in k) else v)
                 for k, v in flat.items()}
-        return tu.unflatten_dict(flat), count + 1
+        return tu.unflatten_dict(flat), FreezeUntilState(count=state.count + 1)
 
     return optax.GradientTransformation(init, update)
 

@@ -158,16 +158,18 @@ def _stamp_schedule_counts(opt_state: Any, step: int) -> Any:
     starts from the checkpoint's position instead of from scratch."""
     import optax
 
+    from ..train.state import FreezeUntilState
+
+    stampable = (optax.ScaleByScheduleState, FreezeUntilState)
+
     def fix(node):
-        if isinstance(node, optax.ScaleByScheduleState) and step > 0 \
-                and int(node.count) == 0:
-            return optax.ScaleByScheduleState(
+        if isinstance(node, stampable) and step > 0 and int(node.count) == 0:
+            return type(node)(
                 count=np.asarray(step, dtype=np.asarray(node.count).dtype))
         return node
 
     return jax.tree.map(
-        fix, opt_state,
-        is_leaf=lambda n: isinstance(n, optax.ScaleByScheduleState))
+        fix, opt_state, is_leaf=lambda n: isinstance(n, stampable))
 
 
 def load_train_state(run_dir: str, state: Any):
