@@ -51,7 +51,7 @@ def pair_frames(dir_a: str, dir_b: str) -> List[Tuple[str, str]]:
     return list(zip(fa[:n], fb[:n]))
 
 
-def _metric_fns(vgg_params):
+def _metric_fns(vgg_params, want_vgg: bool, lpips_lin):
     @jax.jit
     def batch_metrics(a, b):
         # per-sample vectors so padded tail entries can be dropped exactly
@@ -59,23 +59,32 @@ def _metric_fns(vgg_params):
         # ADVICE r1 #4)
         out = {"psnr": M.psnr(a, b, per_sample=True),
                "ssim": M.ssim(a, b, per_sample=True)}
-        if vgg_params is not None:
+        if want_vgg:
             out["vgg_dist"] = M.vgg_distance(vgg_params, a, b,
                                              per_sample=True)
+        if lpips_lin is not None:
+            from ..utils.lpips import lpips_distance
+            out["lpips"] = lpips_distance(vgg_params, a, b, lpips_lin,
+                                          per_sample=True)
         return out
     return batch_metrics
 
 
 def evaluate_dirs(results_dir: str, gt_dir: str, size: int = 512,
                   batch_size: int = 8, max_frames: Optional[int] = None,
-                  use_vgg: bool = True) -> Dict[str, float]:
-    """Mean PSNR / SSIM / VGG perceptual distance over paired frames."""
+                  use_vgg: bool = True, use_lpips: bool = False,
+                  lpips_weights: str = "") -> Dict[str, float]:
+    """Mean PSNR / SSIM / VGG / LPIPS distances over paired frames."""
     pairs = pair_frames(results_dir, gt_dir)
     if max_frames is not None:
         pairs = pairs[:max_frames]
 
-    vgg_params = vggm.get_vgg_params() if use_vgg else None
-    fn = _metric_fns(vgg_params)
+    vgg_params = vggm.get_vgg_params() if (use_vgg or use_lpips) else None
+    lpips_lin = None
+    if use_lpips:
+        from ..utils.lpips import get_lin_weights
+        lpips_lin = get_lin_weights(lpips_weights)
+    fn = _metric_fns(vgg_params, use_vgg, lpips_lin)
 
     sums: Dict[str, float] = {}
     n_frames = 0
@@ -111,11 +120,25 @@ def main(argv=None) -> Dict[str, float]:
     p.add_argument("--max_frames", type=int, default=0, help="0 = all")
     p.add_argument("--no_vgg", action="store_true",
                    help="skip the VGG perceptual distance")
+    p.add_argument("--metric", default="",
+                   help="extra metrics, comma list; 'lpips' adds the LPIPS "
+                        "distance (weight-gated: uniform linear head until "
+                        "$LPIPS_WEIGHTS/--lpips_weights provides the "
+                        "official checkpoint, utils/lpips.py)")
+    p.add_argument("--lpips_weights", default="",
+                   help="LPIPS linear-head checkpoint (.pth of the lpips "
+                        "package, or .npz with lin{i} arrays)")
     p.add_argument("--out", default="", help="also write metrics JSON here")
     a = p.parse_args(argv)
 
+    extra = {m.strip() for m in a.metric.split(",") if m.strip()}
+    unknown = extra - {"lpips", "psnr", "ssim", "vgg"}
+    if unknown:
+        p.error(f"unknown --metric {sorted(unknown)}")
     res = evaluate_dirs(a.results_dir, a.gt_dir, a.loadSize, a.batch_size,
-                        a.max_frames or None, use_vgg=not a.no_vgg)
+                        a.max_frames or None, use_vgg=not a.no_vgg,
+                        use_lpips="lpips" in extra,
+                        lpips_weights=a.lpips_weights)
     line = json.dumps({k: round(v, 5) for k, v in res.items()})
     print(line)
     if a.out:
