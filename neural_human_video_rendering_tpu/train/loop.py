@@ -51,8 +51,15 @@ def run_training(opt, loader: BatchLoader, step_fn: Callable,
     """Generic loop. `carry` is whatever PyTree the step threads (TrainState
     or (params, opt_state)); step_fn(carry, batch) -> (carry, metrics);
     eval_fn(carry, epoch) -> metrics dict, run after every epoch (the
-    reference's --data_ratio held-out split, made measurable)."""
-    vis = Visualizer(opt)
+    reference's --data_ratio held-out split, made measurable).
+
+    Multi-host: every process runs the identical SPMD step (collectives
+    require it), but only process 0 touches shared artifacts — checkpoints,
+    HTML/TensorBoard, metrics.jsonl. Concurrent writers to the same
+    {checkpoints_dir}/{name} would race (observed class of bug the
+    2-process test pins, tests/test_multihost.py)."""
+    lead = jax.process_index() == 0
+    vis = Visualizer(opt) if lead else None
     total_steps = 0
     prof_active = False
     try:
@@ -72,13 +79,14 @@ def run_training(opt, loader: BatchLoader, step_fn: Callable,
                     jax.profiler.stop_trace()
                     prof_active = False
                     print(f"[profile] trace written -> {opt.profile_dir}", flush=True)
-                if total_steps % opt.print_freq == 0:
+                if lead and total_steps % opt.print_freq == 0:
                     vis.log_losses(epoch, it, jax.device_get(metrics),
                                    total_steps)
-                if visuals_fn is not None and total_steps % opt.display_freq == 0:
+                if (lead and visuals_fn is not None
+                        and total_steps % opt.display_freq == 0):
                     vis.display_results(visuals_fn(carry, batch), epoch,
                                         total_steps)
-                if (opt.save_latest_freq > 0
+                if (lead and opt.save_latest_freq > 0
                         and total_steps % opt.save_latest_freq == 0):
                     # iteration-level 'latest' save (--save_latest_freq,
                     # pix2pixHD cadence): epoch tag 'latest' only
@@ -86,13 +94,17 @@ def run_training(opt, loader: BatchLoader, step_fn: Callable,
             print(f"End of epoch {epoch} / {epochs} "
                   f"({time.time() - t_epoch:.1f}s)", flush=True)
             if eval_fn is not None:
+                # all processes evaluate (their own loader shard) so any
+                # collectives inside the forward stay collective; only the
+                # lead logs
                 ev = eval_fn(carry, epoch)
-                if ev:
+                if lead and ev:
                     vis.log_losses(epoch, -1, ev, total_steps)
-            if epoch % opt.save_epoch_freq == 0 or epoch == epochs:
+            if lead and (epoch % opt.save_epoch_freq == 0 or epoch == epochs):
                 save_fn(carry, epoch)
     finally:
         if prof_active:
             jax.profiler.stop_trace()
-        vis.close()
+        if vis is not None:
+            vis.close()
     return carry
