@@ -48,6 +48,12 @@ def main():
         "skip prune most of its part loop (the default random-init "
         "measurement is the warp's worst case)"))
     ap.add_argument("--tex_tile", type=int, default=128)
+    ap.add_argument("--warp_dtype", default="float32",
+                    choices=["float32", "bfloat16"], help=(
+        "Pallas warp kernel compute precision: bfloat16 halves the VPU "
+        "cost of the texture gathers/mask-reduces (bounded ~2^-8 "
+        "rounding, ops/pallas_warp2.py) — measure both; the default "
+        "headline number stays the bit-exact f32 kernel"))
     ns = ap.parse_args()
 
     from neural_human_video_rendering_tpu.runtime import setup_jax
@@ -87,6 +93,7 @@ def main():
         num_D=2, n_layers_D=3, ndf=64,
         lambda_L2=500, lambda_UV=1000, lambda_Prob=10, lambda_Temp=500,
         use_densepose_loss=True, dtype="bfloat16", use_pallas_warp=True,
+        warp_dtype=ns.warp_dtype,
     )
 
     ds = dsm.SyntheticDataset(opt, length=opt.batchSize)

@@ -159,6 +159,7 @@ class Options:
     warp_topk: int = 4               # top-k part sampling in the texture warp (0/24 = all parts)
     warp_block_parts: int = 0        # cap active parts per warp-kernel block (0 = exact; >0 is a lossy opt-in, only valid once part probs are spatially coherent)
     warp_eps: float = 1e-3           # drop sub-eps blend weights in the warp (error <= warp_topk*eps per pixel; 0 = exact)
+    warp_dtype: str = "float32"      # Pallas warp gather/reduce precision: float32 (bit-exact) | bfloat16 (~2x VPU rate, ~2^-8 rounding; precision-consistent when --dtype bfloat16)
     temporal_detach_prev: bool = True  # stop-grad the t-1 frame in the temporal loss (fwd-only prev render)
     temporal_prev: str = "fake"      # temporal-loss target: fake (render t-1, parity) | real (flow-warp the real t-1 frame; no prev render)
     stem_s2d: int = 2                # space-to-depth the generator stems (1 = pix2pixHD topology)

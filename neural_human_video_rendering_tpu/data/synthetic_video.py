@@ -172,15 +172,22 @@ def fit_canvas_joints(all_joints: np.ndarray, size: int,
 
 def write_corpus(out_dir: str, joints_seq: np.ndarray, size: int = 512,
                  tile: int = 64, laplace_ch: int = 0,
-                 cuts=()) -> Dict[str, str]:
+                 cuts=(), corrupt: float = 0.0,
+                 corrupt_seed: int = 0) -> Dict[str, str]:
     """Write the full reference data-contract tree for a joint sequence.
 
     joints_seq: (N, 18, 3) in canvas coordinates. Returns path dict.
     cuts: frame indices where the sequence restarts (multi-person pools:
     person boundaries) — the pairwise flow there is zeroed instead of
     computed across unrelated identities.
+    corrupt > 0: write CORRUPTED pseudo-GT (mask / densepose IUV / bg.jpg —
+    data/corruption.py simulates each preprocessing tool's failure modes at
+    this strength) while the frames stay TRUE — the noisy-supervision
+    regime the reference's online refinement claims to train past.
     """
     import cv2
+
+    from . import corruption as cr
 
     def d(name):
         p = os.path.join(out_dir, name)
@@ -202,15 +209,24 @@ def write_corpus(out_dir: str, joints_seq: np.ndarray, size: int = 512,
             (np.clip(img01, 0, 1) * 255).astype(np.uint8), cv2.COLOR_RGB2BGR))
 
     prev = None
+    masks_sum = np.zeros((size, size), np.float32)
     for i, joints in enumerate(joints_seq):
         parts, uv, limb = rasterize_iuv(joints, size)
         frame, mask = render_frame(parts, uv, atlas, bg)
+        masks_sum += mask[..., 0]
         imwrite_rgb(os.path.join(img_d, f"frame{i:05d}.png"),
                     (frame + 1) / 2)
+        mask_out = mask[..., 0]
+        parts_out, uv_out = parts, uv
+        if corrupt > 0:
+            mask_out = cr.corrupt_mask(mask_out, corrupt_seed, i, corrupt)
+            parts_out, uv_out = cr.corrupt_iuv(parts, uv, corrupt_seed, i,
+                                               corrupt)
         cv2.imwrite(os.path.join(mask_d, f"frame{i:05d}.png"),
-                    (mask[..., 0] * 255).astype(np.uint8))
+                    (mask_out * 255).astype(np.uint8))
         cv2.imwrite(os.path.join(dp_d, f"frame{i:05d}.png"),
-                    cv2.cvtColor(dp.encode_iuv(parts, uv), cv2.COLOR_RGB2BGR))
+                    cv2.cvtColor(dp.encode_iuv(parts_out, uv_out),
+                                 cv2.COLOR_RGB2BGR))
         body25 = np.zeros((25, 3), np.float32)
         body25[kp.BODY25_TO_COCO18] = joints
         kp.write_keypoint_json(
@@ -241,7 +257,11 @@ def write_corpus(out_dir: str, joints_seq: np.ndarray, size: int = 512,
         with open(os.path.join(out_dir, "cuts.json"), "w") as f:
             json.dump({"cuts": sorted(int(c) for c in cuts)}, f)
     paths["bg.jpg"] = os.path.join(out_dir, "bg.jpg")
-    imwrite_rgb(paths["bg.jpg"], (bg + 1) / 2)
+    bg_out = bg
+    if corrupt > 0:
+        occ = cr.occupancy(masks_sum, len(joints_seq))
+        bg_out = cr.corrupt_bg(bg, occ, corrupt_seed, corrupt)
+    imwrite_rgb(paths["bg.jpg"], (bg_out + 1) / 2)
     from . import texture_unfold as tu
     grid = tu.tiles_to_grid((atlas + 1) / 2)
     paths["texture.jpg"] = os.path.join(out_dir, "texture.png")

@@ -57,6 +57,7 @@ class NeuralRenderer(nn.Module):
     warp_k: int = 4
     warp_block_parts: int = 0
     warp_eps: float = 1e-3
+    warp_dtype: str = "float32"           # bf16 kernel compute (--warp_dtype)
     stem_s2d: int = 1
     head_s2d: int = 1
     bg_s2d: int = 1
@@ -161,7 +162,7 @@ class NeuralRenderer(nn.Module):
 
         fg = texture_warp(texture, uv, probs, use_pallas=self.use_pallas,
                           k=self.warp_k, block_parts=self.warp_block_parts,
-                          eps=self.warp_eps)
+                          eps=self.warp_eps, compute_dtype=self.warp_dtype)
 
         bg_refined = bg
         if self.use_bg:
@@ -211,6 +212,7 @@ def renderer_from_options(opt) -> NeuralRenderer:
         warp_k=opt.warp_topk,
         warp_block_parts=opt.warp_block_parts,
         warp_eps=opt.warp_eps,
+        warp_dtype=opt.warp_dtype,
         stem_s2d=opt.stem_s2d,
         head_s2d=opt.head_s2d,
         bg_s2d=opt.bg_s2d,

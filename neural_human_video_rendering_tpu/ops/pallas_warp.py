@@ -33,7 +33,8 @@ def _pallas_available() -> bool:
 
 def texture_warp(tex: jnp.ndarray, uv: jnp.ndarray, probs: jnp.ndarray,
                  use_pallas: bool = True, k: int = 4,
-                 block_parts: int = 0, eps: float = 0.0) -> jnp.ndarray:
+                 block_parts: int = 0, eps: float = 0.0,
+                 compute_dtype: str = "float32") -> jnp.ndarray:
     """Per-part texture warp + probability blend — the production op.
 
     tex (B,P,T,T,C) in [-1,1]; uv (B,H,W,P,2) in [0,1]; probs (B,H,W,P+1)
@@ -43,6 +44,9 @@ def texture_warp(tex: jnp.ndarray, uv: jnp.ndarray, probs: jnp.ndarray,
     see pallas_warp2._topk_dense_weights); eps drops sub-eps blend
     weights (error bounded by k*eps per pixel, applied identically on
     both the Pallas and XLA paths so they stay equivalent).
+    compute_dtype "bfloat16" runs the Pallas kernel's texture gathers and
+    mask-reduces in bf16 (--warp_dtype; bounded ~2^-8 rounding, see
+    pallas_warp2.texture_warp_pallas) — XLA fallback paths ignore it.
     """
     P = tex.shape[1]
     if use_pallas and _pallas_available():
@@ -66,7 +70,7 @@ def texture_warp(tex: jnp.ndarray, uv: jnp.ndarray, probs: jnp.ndarray,
         if pallas_warp_supported(tex, uv):
             kk = k if 0 < k <= P else P
             return texture_warp_pallas(tex, uv, probs, kk, block_parts,
-                                       eps, ext)
+                                       eps, ext, compute_dtype)
     if 0 < k < P:
         return texture_warp_topk(tex, uv, probs, k=k, eps=eps)
     if eps > 0.0:

@@ -167,8 +167,16 @@ def _topk_call(fg_planes, k, block_parts, eps=0.0):
     )(fg_planes)
 
 
-def _to_planes(tex, uv, probs, k, block_parts=0, eps=0.0):
-    """Returns (texT (B,P,C,T,T), u,v,w (B,P,NB,8,128), shapes)."""
+def _to_planes(tex, uv, probs, k, block_parts=0, eps=0.0,
+               compute_dtype=jnp.float32):
+    """Returns (texT (B,P,C,T,T), u,v,w (B,P,NB,8,128), shapes).
+
+    compute_dtype governs the TEXTURE planes only (the kernels derive their
+    gather/reduce precision from texT's dtype): bf16 texture rows double
+    the VPU rate of the dominant (128,128) gather+mask-reduce work, and
+    cost no information when the texture is bf16-sourced anyway (TexG runs
+    in the model dtype). Coordinates/weights stay f32 — bf16's 8-bit
+    mantissa on u*(T-1) would be half-texel position error."""
     B, P, Ht, Wt, C = tex.shape
     H, W = uv.shape[1], uv.shape[2]
     N = H * W
@@ -188,7 +196,7 @@ def _to_planes(tex, uv, probs, k, block_parts=0, eps=0.0):
     w = w.reshape(shp)
     # transposed tiles: texT[b,p,c,col,row] = tex[b,p,row,col,c]
     texT = jnp.transpose(tex, (0, 1, 4, 3, 2))
-    return texT.astype(jnp.float32), u.astype(jnp.float32), \
+    return texT.astype(compute_dtype), u.astype(jnp.float32), \
         v.astype(jnp.float32), w.astype(jnp.float32), (B, P, C, H, W, NB)
 
 
@@ -246,6 +254,12 @@ def _fwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, out_ref):
     @pl.when(jnp.max(w_all) > 0.0)
     def _active():
         C = texT_ref.shape[0]
+        # compute precision follows the texture planes' dtype (bf16 halves
+        # the VPU cost of the (128,128) gather+mask-reduce work below; the
+        # reduce adds only zeros outside the two one-hot rows, so bf16's
+        # loss is just the product rounding). The (1,128) tail — y-lerp and
+        # the blend-weight multiply-accumulate — stays f32.
+        cd = texT_ref.dtype
         u_all = u_ref[...]
         v_all = v_ref[...]
         acc = [[None] * _BLK_ROWS for _ in range(C)]
@@ -259,13 +273,15 @@ def _fwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, out_ref):
             # only needs top = v00*(1-wx)+v01*wx = sum(rT0 * mx), so per
             # channel it's 2 masked reduces instead of 4 (the backward
             # keeps m0/m1 separate — it needs the x-derivative)
-            mx = m0 * (1.0 - wx) + m1 * wx
+            mx = (m0 * (1.0 - wx) + m1 * wx).astype(cd)
             for c in range(C):
                 texT_c = texT_ref[c]
                 rT0 = _row_gather(texT_c, y0)
                 rT1 = _row_gather(texT_c, y1)
-                top = jnp.sum(rT0 * mx, axis=0, keepdims=True)
-                bot = jnp.sum(rT1 * mx, axis=0, keepdims=True)
+                top = jnp.sum(rT0 * mx, axis=0,
+                              keepdims=True).astype(jnp.float32)
+                bot = jnp.sum(rT1 * mx, axis=0,
+                              keepdims=True).astype(jnp.float32)
                 samp = top * (1 - wy) + bot * wy
                 acc[c][r] = samp * w_row
         res = jnp.stack([jnp.concatenate(acc[c], axis=0) for c in range(C)])
@@ -294,6 +310,11 @@ def _bwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, g_ref,
     @pl.when(jnp.max(w_all) > 0.0)
     def _active():
         C = texT_ref.shape[0]
+        # like the forward, gather/mask-reduce precision follows the
+        # texture dtype; all (1,128)-row gradient math stays f32. The bf16
+        # v00..v11 carry exactly the information the bf16-sourced texture
+        # had; the dtex matmuls run the MXU's native bf16 x bf16 -> f32.
+        cd = texT_ref.dtype
         u_all = u_ref[...]
         v_all = v_ref[...]
         g_all = g_ref[...]                      # (C, 8, 128)
@@ -307,6 +328,7 @@ def _bwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, g_ref,
             w_row = w_all[r:r + 1, :]
             x0, x1, y0, y1, wx, wy = _coords(u_row, v_row, ext)
             m0, m1 = _col_masks(x0, x1)
+            m0c, m1c = m0.astype(cd), m1.astype(cd)
             # one-hot row masks (y-on-sublanes, slot-on-lanes) — same
             # orientation as the column masks, so no cross-lane reshape;
             # the matmul below contracts over the slot (lane) axis
@@ -319,10 +341,14 @@ def _bwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, g_ref,
                 g_row = g_all[c, r:r + 1, :]
                 rT0 = _row_gather(texT_c, y0)
                 rT1 = _row_gather(texT_c, y1)
-                v00 = jnp.sum(rT0 * m0, axis=0, keepdims=True)
-                v01 = jnp.sum(rT0 * m1, axis=0, keepdims=True)
-                v10 = jnp.sum(rT1 * m0, axis=0, keepdims=True)
-                v11 = jnp.sum(rT1 * m1, axis=0, keepdims=True)
+                v00 = jnp.sum(rT0 * m0c, axis=0,
+                              keepdims=True).astype(jnp.float32)
+                v01 = jnp.sum(rT0 * m1c, axis=0,
+                              keepdims=True).astype(jnp.float32)
+                v10 = jnp.sum(rT1 * m0c, axis=0,
+                              keepdims=True).astype(jnp.float32)
+                v11 = jnp.sum(rT1 * m1c, axis=0,
+                              keepdims=True).astype(jnp.float32)
                 top = v00 * (1 - wx) + v01 * wx
                 bot = v10 * (1 - wx) + v11 * wx
                 samp = top * (1 - wy) + bot * wy
@@ -337,14 +363,14 @@ def _bwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, g_ref,
                 c01 = gw * wx * (1 - wy)
                 c10 = gw * (1 - wx) * wy
                 c11 = gw * wx * wy
-                a0 = m0 * c00 + m1 * c01          # (c'=128, l=128)
-                a1 = m0 * c10 + m1 * c11
+                a0 = (m0 * c00 + m1 * c01).astype(cd)   # (c'=128, l=128)
+                a1 = (m0 * c10 + m1 * c11).astype(cd)
                 # dtexT[c', y] += sum_l a[c', l] * oh_y[y, l]
                 contract = (((1,), (1,)), ((), ()))
                 dtex_acc[c] = dtex_acc[c] + jax.lax.dot_general(
-                    a0, oh_y0, contract,
+                    a0, oh_y0.astype(cd), contract,
                     preferred_element_type=jnp.float32) + jax.lax.dot_general(
-                    a1, oh_y1, contract,
+                    a1, oh_y1.astype(cd), contract,
                     preferred_element_type=jnp.float32)
             du_rows[r] = du_acc
             dv_rows[r] = dv_acc
@@ -442,12 +468,13 @@ def _bwd_call(texT, u, v, w, g_planes, dims, ext=_TILE):
 # public op with custom VJP
 # ----------------------------------------------------------------------
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6, 7))
 def texture_warp_pallas(tex: jnp.ndarray, uv: jnp.ndarray,
                         probs: jnp.ndarray, k: int = 4,
                         block_parts: int = 0,
                         eps: float = 0.0,
-                        ext: int = _TILE) -> jnp.ndarray:
+                        ext: int = _TILE,
+                        compute_dtype: str = "float32") -> jnp.ndarray:
     """Fused Pallas texture warp. Same contract as texture_warp_topk.
 
     block_parts caps active parts per kernel block (LOSSY, opt-in only);
@@ -456,15 +483,24 @@ def texture_warp_pallas(tex: jnp.ndarray, uv: jnp.ndarray,
     see _topk_dense_weights for both. ext is the effective tile edge for
     zero-padded sub-128 tiles (see _coords): uv samples the (ext-1) grid
     exactly, so the padded path is bit-identical to the unpadded op.
+    compute_dtype "bfloat16" runs the texture gathers/mask-reduces (and
+    the backward's dtex matmuls) in bf16 — precision-consistent when the
+    texture is bf16-sourced, coordinates/accumulation stay f32; error is
+    the bf16 product rounding (~2^-8 relative), under the model's own
+    bf16 conv noise. Default f32 is bit-exact vs the XLA reference.
     """
-    out, _ = _texture_warp_fwd(tex, uv, probs, k, block_parts, eps, ext)
+    out, _ = _texture_warp_fwd(tex, uv, probs, k, block_parts, eps, ext,
+                               compute_dtype)
     return out
 
 
-def _texture_warp_fwd(tex, uv, probs, k, block_parts=0, eps=0.0, ext=_TILE):
+def _texture_warp_fwd(tex, uv, probs, k, block_parts=0, eps=0.0, ext=_TILE,
+                      compute_dtype="float32"):
     B, P, Ht, Wt, C = tex.shape
     H, W = uv.shape[1], uv.shape[2]
-    texT, u, v, w, dims = _to_planes(tex, uv, probs, k, block_parts, eps)
+    cd = jnp.bfloat16 if compute_dtype == "bfloat16" else jnp.float32
+    texT, u, v, w, dims = _to_planes(tex, uv, probs, k, block_parts, eps,
+                                     compute_dtype=cd)
     out_planes = _fwd_call(texT, u, v, w, dims, ext)      # (B,NB,C,8,128)
     out = jnp.moveaxis(out_planes.reshape(B, H * W // _BLK, C, _BLK),
                        2, 3).reshape(B, H, W, C)
@@ -476,7 +512,7 @@ def _texture_warp_fwd(tex, uv, probs, k, block_parts=0, eps=0.0, ext=_TILE):
     return out, (texT, u, v, w, dims, dtype_tokens)
 
 
-def _texture_warp_bwd(k, block_parts, eps, ext, res, g):
+def _texture_warp_bwd(k, block_parts, eps, ext, compute_dtype, res, g):
     texT, u, v, w, dims, dtype_tokens = res
     tex_dt, uv_dt, probs_dt = (t.dtype for t in dtype_tokens)
     B, P, C, H, W, NB = dims

@@ -277,3 +277,58 @@ def test_dispatch_small_tile_matches_topk_exactly(monkeypatch):
     out = pw.texture_warp(tex, uv, probs, use_pallas=True, k=3)
     ref = texture_warp_topk(tex, uv, probs, 3)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-6)
+
+
+# ---------------------------------------------------------------- bf16 mode
+
+def test_bf16_forward_close_to_f32():
+    """compute_dtype=bfloat16 must match the exact kernel within bf16
+    product rounding (~2^-8 relative on [-1,1] textures)."""
+    tex, uv, probs = _inputs(P=5, seed=7)
+    exact = texture_warp_pallas(tex, uv, probs, 3)
+    bf16 = texture_warp_pallas(tex, uv, probs, 3,
+                               compute_dtype="bfloat16")
+    err = np.abs(np.asarray(bf16) - np.asarray(exact))
+    assert err.max() < 0.02, err.max()
+    assert err.mean() < 3e-3, err.mean()
+
+
+def test_bf16_gradients_close_to_f32():
+    tex, uv, probs = _inputs(P=5, seed=8)
+
+    def loss(cd):
+        return lambda t, u, p: jnp.mean(
+            texture_warp_pallas(t, u, p, 3, 0, 0.0, 128, cd) ** 2)
+
+    g32 = jax.grad(loss("float32"), argnums=(0, 1, 2))(tex, uv, probs)
+    g16 = jax.grad(loss("bfloat16"), argnums=(0, 1, 2))(tex, uv, probs)
+    for name, a, b in zip(("dtex", "duv", "dprobs"), g32, g16):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        assert np.abs(b - a).max() / scale < 0.03, (
+            name, np.abs(b - a).max(), scale)
+
+
+def test_bf16_zero_weight_parts_still_exact_zero():
+    """The block-skip and zero-weight semantics are dtype-independent."""
+    tex, uv, _ = _inputs(B=1, P=5, H=64, W=64, seed=9)
+    p = np.zeros((1, 64, 64, 6), np.float32)
+    p[..., 2] = 1.0
+    probs = jnp.asarray(p)
+    ref = texture_warp_topk(tex, uv, probs, 2)
+    out = texture_warp_pallas(tex, uv, probs, 2,
+                              compute_dtype="bfloat16")
+    # part-1-only blend of a bf16-rounded texture: error is pure rounding
+    assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 0.02
+
+
+def test_bf16_renderer_flag_threads_through(tiny_opt):
+    """--warp_dtype reaches the renderer (and the XLA fallback ignores it,
+    staying exact on CPU test shapes)."""
+    import dataclasses
+
+    from neural_human_video_rendering_tpu.models.renderer import (
+        renderer_from_options)
+    opt = dataclasses.replace(tiny_opt, warp_dtype="bfloat16")
+    r = renderer_from_options(opt)
+    assert r.warp_dtype == "bfloat16"

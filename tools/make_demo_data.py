@@ -33,6 +33,12 @@ def main():
                         "(person-agnostic stage-1 pretraining corpus, "
                         "pretrainTrans.sh's multi-person intent)")
     p.add_argument("--laplace_ch", type=int, default=0)
+    p.add_argument("--corrupt", type=float, default=0.0,
+                   help="0..1: corrupt the pseudo-GT (mask/densepose/bg) at "
+                        "this strength while frames stay true "
+                        "(data/corruption.py — the noisy-supervision regime "
+                        "the reference's online refinement trains past)")
+    p.add_argument("--corrupt_seed", type=int, default=0)
     a = p.parse_args()
 
     import numpy as np
@@ -48,7 +54,8 @@ def main():
         joints = np.concatenate(pool)
     os.makedirs(a.out, exist_ok=True)
     paths = sv.write_corpus(a.out, joints, size=a.size, tile=a.tile,
-                            laplace_ch=a.laplace_ch, cuts=cuts)
+                            laplace_ch=a.laplace_ch, cuts=cuts,
+                            corrupt=a.corrupt, corrupt_seed=a.corrupt_seed)
     print(f"wrote {len(joints)} frames -> {a.out}")
     for k, v in sorted(paths.items()):
         print(f"  {k}: {v}")
