@@ -38,11 +38,19 @@ def test_dryrun_multichip_driver_invocation():
 @pytest.mark.slow
 def test_dryrun_multichip_survives_preinitialized_backend():
     """If a hostile caller initializes a 1-device backend first, the hook
-    must fall back to a clean subprocess rather than assert."""
+    must fall back to a clean subprocess rather than assert.
+
+    The axon registration is disabled (PALLAS_AXON_POOL_IPS=""): its
+    get_backend hook initializes the relay C-API client inside
+    jax.devices() EVEN under JAX_PLATFORMS=cpu, which blocks forever when
+    the relay is down (observed round 3: 900 s timeout). The recovery
+    branch under test — backend already initialized with too few devices
+    -> re-exec in a clean subprocess — is platform-independent."""
     code = ("import jax; jax.devices(); "
             "import __graft_entry__ as g; g.dryrun_multichip(8)")
     env = _clean_env()
     env["JAX_PLATFORMS"] = "cpu"   # 1 CPU device, no host-count flag
+    env["PALLAS_AXON_POOL_IPS"] = ""
     r = subprocess.run([sys.executable, "-c", code], cwd=REPO, env=env,
                        capture_output=True, text=True, timeout=900)
     assert r.returncode == 0, f"stderr:\n{r.stderr[-3000:]}"

@@ -22,7 +22,9 @@ from collections import defaultdict
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run_trace(out_dir: str, steps: int, infer: bool) -> None:
+def run_trace(out_dir: str, steps: int, infer: bool, size: int = 512,
+              netG: str = "global", tex_tile: int = 128,
+              warp_dtype: str = "float32", batch: int = 2) -> None:
     sys.path.insert(0, REPO)
     from neural_human_video_rendering_tpu.runtime import setup_jax
     setup_jax()
@@ -34,13 +36,15 @@ def run_trace(out_dir: str, steps: int, infer: bool) -> None:
     from neural_human_video_rendering_tpu.train.state import create_train_state
 
     opt = Options(
-        loadSize=512, batchSize=2, tex_tile=128,
+        loadSize=size, batchSize=batch, tex_tile=tex_tile,
         ngf=64, n_downsample_translate=4, n_blocks_translate=9,
         ngf_global=48, n_downsample_global=2, n_blocks_global=10,
         n_downsample_bg=2, n_blocks_bg=2,
         num_D=2, n_layers_D=3, ndf=64,
+        netG=netG,
         lambda_L2=500, lambda_UV=1000, lambda_Prob=10, lambda_Temp=500,
         use_densepose_loss=True, dtype="bfloat16", use_pallas_warp=True,
+        warp_dtype=warp_dtype,
     )
     ds = dsm.SyntheticDataset(opt, length=opt.batchSize)
     batch = dsm.collate([ds[i] for i in range(opt.batchSize)])
@@ -119,11 +123,18 @@ if __name__ == "__main__":
     p.add_argument("--out", default="/tmp/nhvr_prof")
     p.add_argument("--steps", type=int, default=6)
     p.add_argument("--infer", action="store_true")
+    p.add_argument("--loadSize", type=int, default=512)
+    p.add_argument("--netG", default="global", choices=["global", "local"])
+    p.add_argument("--tex_tile", type=int, default=128)
+    p.add_argument("--warp_dtype", default="float32",
+                   choices=["float32", "bfloat16"])
+    p.add_argument("--batchSize", type=int, default=2)
     p.add_argument("--analyze", default="",
                    help="skip the run; analyze this trace dir")
     a = p.parse_args()
     if a.analyze:
         analyze(a.analyze, a.steps)
     else:
-        run_trace(a.out, a.steps, a.infer)
+        run_trace(a.out, a.steps, a.infer, a.loadSize, a.netG, a.tex_tile,
+                  a.warp_dtype, a.batchSize)
         analyze(a.out, a.steps)
