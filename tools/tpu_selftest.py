@@ -137,6 +137,25 @@ def main():
     check("warp fwd tile64 k=4 eps=1e-3", oute, refe, 2e-5)
     check("warp eps bound vs exact (<=k*eps)", oute, ref4, 4 * EPS)
 
+    # bf16 warp compute (--warp_dtype bfloat16): verifies the Mosaic bf16
+    # lane-gather lowering ON HARDWARE — interpret mode already pins the
+    # semantics (tests/test_pallas_warp.py bf16 suite), but the compiled
+    # take_along_axis on (16,128)-tiled bf16 rows is exactly the part no
+    # CPU test can vouch for. Tolerance is the bf16 product-rounding bound.
+    outb = jax.jit(lambda t, u, p: texture_warp(
+        t, u, p, True, 4, 0, 0.0, "bfloat16"))(tex64, uv64, probs_pk)
+    check("warp fwd tile64 k=4 bf16", outb, ref4, 2.5e-2)
+
+    def loss_kb(t, u, p):
+        return jnp.sum(texture_warp(t, u, p, True, 4, 0, 0.0,
+                                    "bfloat16") ** 2)
+
+    gkb = jax.jit(jax.grad(loss_kb, argnums=(0, 1, 2)))(tex64, uv64, probs_pk)
+    for name, a, b in zip(("dtex", "duv", "dprobs"), gkb, gr4):
+        scale = float(jnp.max(jnp.abs(b))) + 1e-6
+        check(f"warp bwd tile64 bf16 {name} (rel)", a / scale, b / scale,
+              3e-2)
+
     # flow warp vs jnp reference
     img = jax.random.uniform(k1, (B, H, W, C), jnp.float32)
     flow = 8.0 * jax.random.normal(k2, (B, H, W, 2), jnp.float32)
