@@ -70,10 +70,46 @@ def _metric_fns(vgg_params, want_vgg: bool, lpips_lin):
     return batch_metrics
 
 
+def temporal_flicker(results_dir: str, gt_dir: str, pairs, size: int,
+                     batch_size: int = 8) -> Dict[str, float]:
+    """Temporal-consistency metric over CONSECUTIVE frame pairs.
+
+    Video renderers can score well per-frame yet flicker; the reference's
+    whole --lambda_Temp mechanism exists to prevent that (SURVEY.md §2
+    #18). Reported: mean |f_t - f_{t-1}| of the renders, the same for the
+    ground truth (the sequence's intrinsic motion energy), and their
+    ratio — 1.0 means the renders carry exactly the GT's temporal
+    variation; >1 is flicker, <1 is over-smoothing."""
+    @jax.jit
+    def diff(a, b):
+        return jnp.mean(jnp.abs(a - b), axis=(1, 2, 3))
+
+    def seq_l1(d, names):
+        total, n = 0.0, 0
+        for s in range(0, len(names) - 1, batch_size):
+            chunk = [(names[i], names[i + 1])
+                     for i in range(s, min(s + batch_size,
+                                           len(names) - 1))]
+            padded = chunk + [chunk[-1]] * (batch_size - len(chunk))
+            a = jnp.asarray(np.stack([dsm.load_image(os.path.join(d, p[0]),
+                                                     size) for p in padded]))
+            b = jnp.asarray(np.stack([dsm.load_image(os.path.join(d, p[1]),
+                                                     size) for p in padded]))
+            total += float(np.sum(np.asarray(diff(a, b))[:len(chunk)]))
+            n += len(chunk)
+        return total / max(n, 1)
+
+    res_l1 = seq_l1(results_dir, [p[0] for p in pairs])
+    gt_l1 = seq_l1(gt_dir, [p[1] for p in pairs])
+    return {"temporal_l1": res_l1, "temporal_l1_gt": gt_l1,
+            "flicker_ratio": res_l1 / max(gt_l1, 1e-8)}
+
+
 def evaluate_dirs(results_dir: str, gt_dir: str, size: int = 512,
                   batch_size: int = 8, max_frames: Optional[int] = None,
                   use_vgg: bool = True, use_lpips: bool = False,
-                  lpips_weights: str = "") -> Dict[str, float]:
+                  lpips_weights: str = "",
+                  use_temporal: bool = False) -> Dict[str, float]:
     """Mean PSNR / SSIM / VGG / LPIPS distances over paired frames."""
     pairs = pair_frames(results_dir, gt_dir)
     if max_frames is not None:
@@ -103,6 +139,9 @@ def evaluate_dirs(results_dir: str, gt_dir: str, size: int = 512,
                 np.asarray(v)[:len(chunk)]))
         n_frames += len(chunk)
     out = {k: v / n_frames for k, v in sums.items()}
+    if use_temporal and len(pairs) > 1:
+        out.update(temporal_flicker(results_dir, gt_dir, pairs, size,
+                                    batch_size))
     out["frames"] = float(len(pairs))
     return out
 
@@ -124,7 +163,9 @@ def main(argv=None) -> Dict[str, float]:
                    help="extra metrics, comma list; 'lpips' adds the LPIPS "
                         "distance (weight-gated: uniform linear head until "
                         "$LPIPS_WEIGHTS/--lpips_weights provides the "
-                        "official checkpoint, utils/lpips.py)")
+                        "official checkpoint, utils/lpips.py); 'temporal' "
+                        "adds consecutive-frame flicker vs the GT's own "
+                        "motion energy")
     p.add_argument("--lpips_weights", default="",
                    help="LPIPS linear-head checkpoint (.pth of the lpips "
                         "package, or .npz with lin{i} arrays)")
@@ -132,13 +173,14 @@ def main(argv=None) -> Dict[str, float]:
     a = p.parse_args(argv)
 
     extra = {m.strip() for m in a.metric.split(",") if m.strip()}
-    unknown = extra - {"lpips", "psnr", "ssim", "vgg"}
+    unknown = extra - {"lpips", "psnr", "ssim", "vgg", "temporal"}
     if unknown:
         p.error(f"unknown --metric {sorted(unknown)}")
     res = evaluate_dirs(a.results_dir, a.gt_dir, a.loadSize, a.batch_size,
                         a.max_frames or None, use_vgg=not a.no_vgg,
                         use_lpips="lpips" in extra,
-                        lpips_weights=a.lpips_weights)
+                        lpips_weights=a.lpips_weights,
+                        use_temporal="temporal" in extra)
     line = json.dumps({k: round(v, 5) for k, v in res.items()})
     print(line)
     if a.out:
