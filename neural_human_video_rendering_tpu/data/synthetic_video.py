@@ -263,9 +263,17 @@ def write_corpus(out_dir: str, joints_seq: np.ndarray, size: int = 512,
         bg_out = cr.corrupt_bg(bg, occ, corrupt_seed, corrupt)
     imwrite_rgb(paths["bg.jpg"], (bg_out + 1) / 2)
     from . import texture_unfold as tu
-    grid = tu.tiles_to_grid((atlas + 1) / 2)
     paths["texture.jpg"] = os.path.join(out_dir, "texture.png")
-    imwrite_rgb(paths["texture.jpg"], grid)
+    if corrupt > 0:
+        # the reference's texture.jpg is DERIVED pseudo-GT: unfold_texture
+        # over the (noisy) DensePose IUV + real frames (README.md:64). The
+        # corrupted corpus reproduces that provenance — the static atlas
+        # inherits the IUV corruption instead of being handed the
+        # generating truth.
+        tu.unfold_texture(img_d, dp_d, paths["texture.jpg"], tile=tile)
+    else:
+        grid = tu.tiles_to_grid((atlas + 1) / 2)
+        imwrite_rgb(paths["texture.jpg"], grid)
     return paths
 
 

@@ -90,3 +90,23 @@ def test_write_corpus_corrupt_keeps_frames_true(tmp_path):
     bga = cv2.imread(os.path.join(clean_d, "bg.jpg"))
     bgb = cv2.imread(os.path.join(noisy_d, "bg.jpg"))
     assert not np.array_equal(bga, bgb)
+
+
+def test_corrupt_corpus_atlas_is_unfolded_from_noisy_iuv(tmp_path):
+    """The corrupted corpus's texture.png must be DERIVED (unfold over the
+    corrupted IUV + true frames, the reference's provenance), not the
+    generating truth."""
+    import cv2
+    S = 64
+    joints = sv.load_reference_joints("/root/reference/keypoints", S)[:6]
+    clean_d, noisy_d = str(tmp_path / "c"), str(tmp_path / "n")
+    sv.write_corpus(clean_d, joints, size=S, tile=16)
+    sv.write_corpus(noisy_d, joints, size=S, tile=16, corrupt=0.6)
+    a = cv2.imread(os.path.join(clean_d, "texture.png"))
+    b = cv2.imread(os.path.join(noisy_d, "texture.png"))
+    assert a.shape == b.shape                    # same 4x6 grid contract
+    assert not np.array_equal(a, b)
+    # ...but still correlated with the truth: the unfold recovers most of
+    # the atlas despite the IUV noise (it averages over frames)
+    diff = np.abs(a.astype(np.float32) - b.astype(np.float32)) / 255.0
+    assert diff.mean() < 0.35, diff.mean()
