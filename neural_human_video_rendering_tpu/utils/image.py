@@ -22,6 +22,14 @@ def to_uint8(img, assume_01: bool = False) -> np.ndarray:
     return arr.round().astype(np.uint8)
 
 
-def save_image(path: str, img) -> None:
+def save_image(path: str, img, quality: int = 98) -> None:
+    """Write an RGB float image. JPEG quality defaults to 98: at the
+    model's ~34 dB operating point the default encoder (q95, ~32.8 dB
+    ceiling measured on texture-heavy renders) was eating an error share
+    comparable to the model's own — q98 lifts the encode ceiling ~1 dB
+    above it at ~1/3 of PNG size, keeping the reference's .jpg artifact
+    contract."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    cv2.imwrite(path, cv2.cvtColor(to_uint8(img), cv2.COLOR_RGB2BGR))
+    params = ([cv2.IMWRITE_JPEG_QUALITY, quality]
+              if path.lower().endswith((".jpg", ".jpeg")) else [])
+    cv2.imwrite(path, cv2.cvtColor(to_uint8(img), cv2.COLOR_RGB2BGR), params)
