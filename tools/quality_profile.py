@@ -49,6 +49,10 @@ def main():
     ap.add_argument("--run_dir", required=True, help="trained run dir")
     ap.add_argument("--which_epoch", default="latest")
     ap.add_argument("--how_many", type=int, default=8)
+    ap.add_argument("--data_ratio", type=float, default=0.9,
+                    help="train/holdout split — MUST match the training "
+                         "run's --data_ratio or the 'held-out' frames are "
+                         "training frames (default 0.9, the launcher value)")
     ap.add_argument("--ceiling_tiles", default="32,64,128")
     ap.add_argument("--out", default="")
     my, rest = ap.parse_known_args()
@@ -78,9 +82,14 @@ def main():
     opt.texture_path = f"{d}/texture.png"
     opt.no_flip, opt.serial_batches, opt.batchSize = True, True, 1
     opt.use_densepose_loss = True          # make the dataset emit dp_parts/uv
+    opt.data_ratio = my.data_ratio
     S, P = opt.train_size, opt.n_parts
 
     ds = dsm.FrameDataset(opt, "test")     # held-out --data_ratio split
+    assert 0 < len(ds) < len(dsm.list_images(opt.img_path)), (
+        "test split selected the whole corpus — data_ratio mismatch "
+        "(round-3 post-mortem: an unset data_ratio silently evaluated "
+        "TRAINING frames as 'held-out')")
     n = min(len(ds), my.how_many)
     tex = dsm.load_texture_atlas(opt.texture_path, opt.tex_tile,
                                  opt.tex_rows, opt.tex_cols)
