@@ -30,8 +30,13 @@ from typing import Tuple
 import numpy as np
 
 
-def _rng(seed: int, frame: int) -> np.random.RandomState:
-    return np.random.RandomState((seed * 9973 + frame * 7919) % (2 ** 31))
+def _rng(seed: int, frame: int, salt: int = 0) -> np.random.RandomState:
+    """Per-(seed, frame, modality) stream. The salt keeps the mask / IUV /
+    bg corrupters on INDEPENDENT noise — the real preprocessing tools fail
+    independently, and a shared stream would couple segmentation errors to
+    DensePose wobble across the whole corpus."""
+    return np.random.RandomState(
+        (seed * 9973 + frame * 7919 + salt * 524287) % (2 ** 31))
 
 
 def _smooth_field(rng, size: int, cells: int, amp: float) -> np.ndarray:
@@ -48,7 +53,7 @@ def corrupt_mask(mask: np.ndarray, seed: int, frame: int,
     if strength <= 0:
         return mask
     S = mask.shape[0]
-    rng = _rng(seed, frame)
+    rng = _rng(seed, frame, salt=1)
     out = (mask > 0.5).astype(np.uint8)
 
     # global over/under-segmentation: dilate by up to ~2% of S, or erode by
@@ -92,7 +97,7 @@ def corrupt_iuv(parts: np.ndarray, uv: np.ndarray, seed: int, frame: int,
     if strength <= 0:
         return parts, uv
     S = parts.shape[0]
-    rng = _rng(seed, frame)
+    rng = _rng(seed, frame, salt=2)
 
     # detector spatial wobble: one smooth displacement field for all maps
     # (parts and UV move together, like a mislocalized detection)
@@ -142,7 +147,7 @@ def corrupt_bg(bg: np.ndarray, occ: np.ndarray, seed: int,
     if strength <= 0:
         return bg
     S = bg.shape[0]
-    rng = np.random.RandomState(seed)
+    rng = _rng(seed, 0, salt=3)
     u8 = ((np.clip(bg, -1, 1) + 1) * 127.5).astype(np.uint8)
     inpainted = cv2.inpaint(u8, (occ > 0).astype(np.uint8), 7,
                             cv2.INPAINT_TELEA)

@@ -44,7 +44,12 @@ def pair_frames(dir_a: str, dir_b: str) -> List[Tuple[str, str]]:
         raise FileNotFoundError(f"no images in {dir_a if not fa else dir_b}")
     ka = {_frame_key(f): f for f in fa}
     kb = {_frame_key(f): f for f in fb}
-    common = sorted(set(ka) & set(kb))
+    # numeric sort where keys are frame numbers: lexicographic order breaks
+    # non-zero-padded names (frame1, frame10, frame11, ..., frame2), which
+    # PSNR/SSIM would survive but the temporal metric's consecutive-pair
+    # assumption would not
+    common = sorted(set(ka) & set(kb),
+                    key=lambda k: (0, int(k)) if k.isdigit() else (1, k))
     if common:
         return [(ka[k], kb[k]) for k in common]
     n = min(len(fa), len(fb))
@@ -173,9 +178,11 @@ def main(argv=None) -> Dict[str, float]:
     a = p.parse_args(argv)
 
     extra = {m.strip() for m in a.metric.split(",") if m.strip()}
-    unknown = extra - {"lpips", "psnr", "ssim", "vgg", "temporal"}
+    unknown = extra - {"lpips", "temporal"}
     if unknown:
-        p.error(f"unknown --metric {sorted(unknown)}")
+        p.error(f"--metric accepts 'lpips' and/or 'temporal' (got "
+                f"{sorted(unknown)}); PSNR/SSIM are always computed and "
+                "the VGG distance is controlled by --no_vgg")
     res = evaluate_dirs(a.results_dir, a.gt_dir, a.loadSize, a.batch_size,
                         a.max_frames or None, use_vgg=not a.no_vgg,
                         use_lpips="lpips" in extra,

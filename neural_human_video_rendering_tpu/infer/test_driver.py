@@ -92,6 +92,7 @@ def run_inference(opt, batch_size: Optional[int] = None,
     # honors, dataset.py:217-223) — a model trained on pose images must be
     # driven with pose images, not a differently-rendered skeleton
     pose_img_names: list = []
+    pose_ds = None
     names, joints = kp.load_pose_dir(opt.pose_path)
     if not names:
         pose_img_names = dsm.list_images(opt.pose_path)
@@ -101,6 +102,16 @@ def run_inference(opt, batch_size: Optional[int] = None,
                 "JSONs nor pose images")
         names = pose_img_names
         joints = np.zeros((len(names), kp.N_COCO18, 3), np.float32)
+        # load through FrameDataset so the driving images get EXACTLY the
+        # training geometry — loadSize canvas, scale_width* letterboxing,
+        # deterministic eval center-crop under crop modes. A plain square
+        # resize here mis-framed crop/scale_width-trained models.
+        import dataclasses
+        opt_p = dataclasses.replace(
+            opt, img_path="", mask_path="", densepose_path="",
+            flow_path="", flow_inv_path="", lapalce_path="",
+            data_ratio=1.0, no_flip=True)
+        pose_ds = dsm.FrameDataset(opt_p, "test")
         if opt.pose_tgt_path:
             print("[align] WARNING: --pose_tgt_path ignored — pose-image "
                   "driving cannot be retargeted (alignment needs keypoints)",
@@ -136,7 +147,12 @@ def run_inference(opt, batch_size: Optional[int] = None,
     bg = (dsm.load_image(opt.bg_path, S)
           if opt.bg_path and os.path.isfile(opt.bg_path)
           else np.zeros((S, S, 3), np.float32))
+    # --use_mask_texture: confine the TexG residual to filled atlas texels
+    # exactly as training did (drivers._tex_mask) — without it a trained
+    # residual leaks into hole texels sampled near part seams
+    from ..train.drivers import _tex_mask
     bundle = create_train_state(opt, jax.random.PRNGKey(opt.seed), tex, bg,
+                                tex_mask=_tex_mask(opt, tex),
                                 with_discriminator=False)
     state = bundle["state"]
     g_params = state.g_params
@@ -227,10 +243,9 @@ def run_inference(opt, batch_size: Optional[int] = None,
                                              lap_files[min(i, len(lap_files) - 1)]),
                                 S, opt.laplace_nc) for i in padded])))
         pimg = None
-        if pose_img_names:
+        if pose_ds is not None:
             pimg = put_batch(jnp.asarray(np.stack([
-                dsm.load_image(os.path.join(opt.pose_path, pose_img_names[i]),
-                               S) for i in padded])))
+                pose_ds[i]["pose_img"] for i in padded])))
         pending.append((sel, fwd(g_params, (state.static_tex, state.bg,
                                             state.tex_mask), jb, lap, pimg)))
         if len(pending) > 1:

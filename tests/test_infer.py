@@ -105,3 +105,56 @@ def test_map_driving_joints_matches_training_geometry(tiny_opt):
 
     # unconfident joints are left untouched
     assert out[0, 1, 2] == 0 and out[0, 1, 0] == 0
+
+
+def test_pose_image_driving_uses_training_geometry(tiny_opt, tmp_path,
+                                                   monkeypatch):
+    """A model trained on pre-rendered pose images (openpose_img contract)
+    must be DRIVEN with pose images loaded at the training geometry —
+    loadSize canvas + deterministic center crop under crop modes, not a
+    plain square resize (round-3 review finding)."""
+    import numpy as np
+    from neural_human_video_rendering_tpu.data import dataset as dsm
+    from neural_human_video_rendering_tpu.utils.image import save_image
+
+    pose_dir = str(tmp_path / "pose_imgs")
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        save_image(os.path.join(pose_dir, f"frame{i:05d}.png"),
+                   rng.uniform(-1, 1, (40, 40, 3)).astype(np.float32))
+
+    # crop mode: loadSize 40, fineSize 32 -> eval center-crops (40-32)//2=4
+    opt = dataclasses.replace(
+        tiny_opt, pose_path=pose_dir, resize_or_crop="crop",
+        loadSize=40, fineSize=32,
+        results_dir=str(tmp_path / "results"),
+        name="poseimg_test", checkpoints_dir=str(tmp_path / "ckpt"),
+        which_epoch="latest", isTrain=False)
+
+    captured = {}
+    import neural_human_video_rendering_tpu.train.steps as st
+    real_make = st.make_forward_fn
+
+    def spy_make(opt_, renderer, cluster_feats=None):
+        fwd = real_make(opt_, renderer, cluster_feats)
+
+        def wrapped(g, assets, joints, laplace=None, pose_img=None,
+                    feat_image=None):
+            if pose_img is not None and "pimg" not in captured:
+                captured["pimg"] = np.asarray(pose_img)
+            return fwd(g, assets, joints, laplace, pose_img, feat_image)
+        return wrapped
+
+    monkeypatch.setattr(
+        "neural_human_video_rendering_tpu.infer.test_driver.make_forward_fn",
+        spy_make)
+    n = run_inference(opt, batch_size=2, max_frames=3)
+    assert n == 3
+    assert captured["pimg"].shape[1:3] == (32, 32)
+    # exact training geometry: FrameDataset's own load (loadSize canvas +
+    # deterministic center crop), not a 40->32 squash
+    expected = dsm.load_image(os.path.join(pose_dir, "frame00000.png"), 40)
+    expected = expected[4:36, 4:36]
+    np.testing.assert_allclose(captured["pimg"][0], expected, atol=1e-6)
+    squash = dsm.load_image(os.path.join(pose_dir, "frame00000.png"), 32)
+    assert np.abs(squash - expected).max() > 0.05   # the old path differed

@@ -75,6 +75,10 @@ def train_arm(a, data, ckpt, log, size_kw):
          "--mask_path", f"{data}/mask",
          "--densepose_path", f"{data}/densepose",
          "--no_flip", "--resize_or_crop", "resize",
+         # same split as stage 2: without it the UV pretrain would see the
+         # frames refinement_metrics scores as held-out (the data_ratio
+         # default is 1.0 — the leak class quality_profile's assert pins)
+         "--data_ratio", "0.9",
          "--niter", str(a.pre_epochs), "--no_decay",
          "--save_epoch_freq", "2", "--print_freq", "20"] + size_flags, log)
     run([py, "train.py", "--name", "e2e", "--checkpoints_dir", ckpt,
@@ -165,8 +169,7 @@ def refinement_metrics(a, arm_data, clean_data, ckpt, size_kw, n_eval):
             bg_ref = np.asarray(outs["bg_refined"][0])
 
     def _psnr(x, y):
-        mse = float(np.mean((np.asarray(x) - np.asarray(y)) ** 2))
-        return 10.0 * np.log10(4.0 / max(mse, 1e-10))
+        return float(M.psnr(jnp.asarray(x)[None], jnp.asarray(y)[None]))
 
     return {
         "held_out_frames": n,
