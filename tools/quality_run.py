@@ -130,7 +130,7 @@ def main():
     metrics_path = os.path.join(a.out, "parity.json")
     run([py, "evaluate.py", "--results_dir", f"{renders}/images",
          "--gt_dir", f"{data}/frames", "--loadSize", str(a.size),
-         "--no_vgg", "--out", metrics_path], log)
+         "--no_vgg", "--metric", "temporal", "--out", metrics_path], log)
 
     curve = read_val_curve(os.path.join(ckpt, "e2e"))
     parity = json.load(open(metrics_path))
