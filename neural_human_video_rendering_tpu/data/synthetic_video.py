@@ -13,9 +13,12 @@ Construction: a capsule-skeleton person. Every COCO-18 limb is a capsule
   v = normalized signed offset across it,
 and the frame is EXACTLY the model's own rendering equation:
   frame = mask * texture[part](u, v) + (1 - mask) * bg.
-So a perfectly-trained TransG/TexG/BG stack can reconstruct these frames to
-machine precision — PSNR/SSIM trajectories measure optimization quality, not
-an unreachable target. Flow between consecutive frames comes from the limb
+PSNR/SSIM trajectories therefore measure optimization quality, not an
+unreachable target. Atlas sampling is selectable (render_frame): "nearest"
+(the round-2 corpora; caps a GT-everything reconstruction at ~45 dB
+because the model warps bilinearly — round-3 decomposition) or
+"bilinear", under which a perfect TransG/TexG/BG stack reconstructs to
+machine precision. Flow between consecutive frames comes from the limb
 endpoint displacement of the pixel's part (piecewise-rigid motion).
 """
 
@@ -126,14 +129,35 @@ def rasterize_iuv(joints: np.ndarray, size: int
 
 
 def render_frame(parts: np.ndarray, uv: np.ndarray, atlas: np.ndarray,
-                 bg: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+                 bg: np.ndarray, sampling: str = "nearest"
+                 ) -> Tuple[np.ndarray, np.ndarray]:
     """The model's own forward equation on ground-truth IUV:
-    frame = mask * atlas[part](u, v) + (1-mask) * bg. Returns (frame, mask)."""
+    frame = mask * atlas[part](u, v) + (1-mask) * bg. Returns (frame, mask).
+
+    sampling: "nearest" (round-2 corpora; kept the default for artifact
+    continuity) or "bilinear" — the model WARPS bilinearly, so a
+    nearest-rendered corpus caps a GT-everything reconstruction at
+    ~45 dB (round-3 decomposition, docs/QUALITY.md); a bilinear corpus
+    makes machine-precision reconstruction genuinely reachable and
+    quality trajectories uncapped."""
     T = atlas.shape[1]
-    ui = np.clip((uv[..., 0] * (T - 1)).round().astype(np.int32), 0, T - 1)
-    vi = np.clip((uv[..., 1] * (T - 1)).round().astype(np.int32), 0, T - 1)
     pi = np.clip(parts - 1, 0, atlas.shape[0] - 1)
-    fg = atlas[pi, vi, ui]
+    x = np.clip(uv[..., 0] * (T - 1), 0, T - 1)
+    y = np.clip(uv[..., 1] * (T - 1), 0, T - 1)
+    if sampling == "bilinear":
+        x0 = np.floor(x).astype(np.int32)
+        y0 = np.floor(y).astype(np.int32)
+        x1 = np.minimum(x0 + 1, T - 1)
+        y1 = np.minimum(y0 + 1, T - 1)
+        wx = (x - x0)[..., None]
+        wy = (y - y0)[..., None]
+        fg = ((atlas[pi, y0, x0] * (1 - wx) + atlas[pi, y0, x1] * wx)
+              * (1 - wy)
+              + (atlas[pi, y1, x0] * (1 - wx) + atlas[pi, y1, x1] * wx)
+              * wy)
+    else:
+        fg = atlas[pi, np.round(y).astype(np.int32),
+                   np.round(x).astype(np.int32)]
     mask = (parts > 0).astype(np.float32)[..., None]
     return (mask * fg + (1 - mask) * bg).astype(np.float32), mask
 
@@ -173,7 +197,8 @@ def fit_canvas_joints(all_joints: np.ndarray, size: int,
 def write_corpus(out_dir: str, joints_seq: np.ndarray, size: int = 512,
                  tile: int = 64, laplace_ch: int = 0,
                  cuts=(), corrupt: float = 0.0,
-                 corrupt_seed: int = 0) -> Dict[str, str]:
+                 corrupt_seed: int = 0,
+                 sampling: str = "nearest") -> Dict[str, str]:
     """Write the full reference data-contract tree for a joint sequence.
 
     joints_seq: (N, 18, 3) in canvas coordinates. Returns path dict.
@@ -212,7 +237,7 @@ def write_corpus(out_dir: str, joints_seq: np.ndarray, size: int = 512,
     masks_sum = np.zeros((size, size), np.float32)
     for i, joints in enumerate(joints_seq):
         parts, uv, limb = rasterize_iuv(joints, size)
-        frame, mask = render_frame(parts, uv, atlas, bg)
+        frame, mask = render_frame(parts, uv, atlas, bg, sampling)
         masks_sum += mask[..., 0]
         imwrite_rgb(os.path.join(img_d, f"frame{i:05d}.png"),
                     (frame + 1) / 2)

@@ -80,3 +80,34 @@ def test_flow_matches_motion(corpus):
     warped = a[sy, sx]
     m = dsm.load_mask(f"{paths['mask']}/frame00003.png", 64)[..., 0] > 0.5
     assert np.abs(warped - b)[m].mean() <= np.abs(a - b)[m].mean() + 1e-6
+
+
+def test_bilinear_corpus_matches_model_warp_exactly():
+    """sampling="bilinear" renders with the model's OWN sampling semantics:
+    a GT-everything composite through texture_warp_reference reproduces the
+    frame to float precision (the nearest default caps it ~45 dB —
+    round-3 decomposition)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_human_video_rendering_tpu.data import synthetic_video as sv
+    from neural_human_video_rendering_tpu.ops.grid_sample import (
+        texture_warp_reference)
+
+    S, T = 64, 16
+    joints = sv.load_reference_joints("/root/reference/keypoints", S)[0]
+    parts, uv, _ = sv.rasterize_iuv(joints, S)
+    atlas = sv.part_texture_atlas(tile=T)
+    bg = sv.background_image(S)
+    frame_bl, mask = sv.render_frame(parts, uv, atlas, bg, "bilinear")
+    frame_nn, _ = sv.render_frame(parts, uv, atlas, bg, "nearest")
+
+    onehot = np.eye(25, dtype=np.float32)[parts][None]          # (1,S,S,25)
+    uv_tiled = np.broadcast_to(uv[None, :, :, None, :],
+                               (1, S, S, 24, 2)).copy()
+    fg = np.asarray(texture_warp_reference(
+        jnp.asarray(atlas[None]), jnp.asarray(uv_tiled), jnp.asarray(onehot)))
+    composite = mask * fg[0] + (1 - mask) * bg
+    np.testing.assert_allclose(composite, frame_bl, atol=1e-5)
+    # and the nearest default genuinely differs (the documented ceiling)
+    assert np.abs(frame_nn - frame_bl).max() > 0.01

@@ -39,6 +39,12 @@ def main():
                         "(data/corruption.py — the noisy-supervision regime "
                         "the reference's online refinement trains past)")
     p.add_argument("--corrupt_seed", type=int, default=0)
+    p.add_argument("--sampling", default="nearest",
+                   choices=["nearest", "bilinear"],
+                   help="atlas sampling for the TRUE frames: bilinear makes "
+                        "machine-precision reconstruction reachable by the "
+                        "(bilinear-warping) model; nearest keeps round-2 "
+                        "artifact continuity (~45 dB class ceiling)")
     a = p.parse_args()
 
     import numpy as np
@@ -55,7 +61,8 @@ def main():
     os.makedirs(a.out, exist_ok=True)
     paths = sv.write_corpus(a.out, joints, size=a.size, tile=a.tile,
                             laplace_ch=a.laplace_ch, cuts=cuts,
-                            corrupt=a.corrupt, corrupt_seed=a.corrupt_seed)
+                            corrupt=a.corrupt, corrupt_seed=a.corrupt_seed,
+                            sampling=a.sampling)
     print(f"wrote {len(joints)} frames -> {a.out}")
     for k, v in sorted(paths.items()):
         print(f"  {k}: {v}")
