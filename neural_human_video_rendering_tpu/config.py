@@ -61,6 +61,8 @@ class Options:
     pose_plus_laplace: bool = False
     n_joints: int = 18               # "18Feature" encoding (COCO-18 from BODY_25)
     laplace_nc: int = 3              # channels loaded per LaplaceProj frame
+    pose_heatmaps: bool = False      # concat n_joints Gaussian joint heatmaps to the pose input (the "18Feature" encoding of the reference's flagship run name; needs keypoint-JSON driving)
+    heatmap_sigma: float = 6.0       # heatmap stddev in pixels at the model canvas
 
     # ---- generator architecture ----
     netG: str = "global"             # global | local (pix2pixHD LocalEnhancer)
@@ -225,9 +227,13 @@ class Options:
         3-channel skeleton render (reference uses rendered pose images,
         input_nc 3 at test_start/start.sh:24); LaplaceProj channels are
         concatenated when --use_laplace / --pose_plus_laplace; --input_nc 81
-        (pre_train_tex.sh:18) stacks the render with 78 LaplaceProj channels.
+        (pre_train_tex.sh:18) stacks the render with 78 LaplaceProj channels;
+        --pose_heatmaps adds n_joints Gaussian heatmap channels (the
+        "18Feature" encoding).
         """
         nc = 3 if self.use_pose_render else 0
+        if self.pose_heatmaps:
+            nc += self.n_joints
         return nc + self.laplace_nc_eff
 
     @property

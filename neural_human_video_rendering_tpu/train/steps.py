@@ -48,6 +48,15 @@ def build_pose_input(opt, joints: jnp.ndarray,
     if opt.use_pose_render:
         chans.append(pose_img if pose_img is not None
                      else render_skeleton_batch(joints, S, S))
+    if opt.pose_heatmaps:
+        # "18Feature" joint encoding (reference flagship run name,
+        # test_start/start.sh:7): per-joint Gaussian heatmaps give the UV
+        # heads direct joint-relative geometry the 3-channel line render
+        # only encodes implicitly. On-device, fuses into the forward.
+        from ..data.rasterize import joint_heatmaps
+        hm = jax.vmap(lambda j: joint_heatmaps(
+            j, S, S, sigma=opt.heatmap_sigma))(joints)
+        chans.append(hm * 2.0 - 1.0)
     if opt.use_laplace:
         if laplace is None:
             B = joints.shape[0]

@@ -54,3 +54,26 @@ def test_heatmaps_peak_at_joint():
     y, x = int(j[1, 1]), int(j[1, 0])
     assert hm[y, x, 1] > 0.99
     assert hm[0, 0, 1] < 0.01
+
+
+def test_pose_heatmaps_input_channels(tiny_opt):
+    """--pose_heatmaps (the reference's "18Feature" encoding) appends
+    n_joints Gaussian channels to the pose input, train + infer paths."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_human_video_rendering_tpu.train.steps import build_pose_input
+    opt = dataclasses.replace(tiny_opt, pose_heatmaps=True, heatmap_sigma=2.0)
+    assert opt.pose_nc == 3 + 18
+    j = np.zeros((2, 18, 3), np.float32)
+    j[:, :, 0] = 16.0
+    j[:, :, 1] = np.arange(18)[None] + 4.0
+    j[:, :, 2] = 1.0
+    pose = build_pose_input(opt, jnp.asarray(j), None)
+    assert pose.shape == (2, opt.train_size, opt.train_size, 21)
+    hm = np.asarray(pose[0, :, :, 3:])          # heatmap block in [-1,1]
+    # peak of joint 0's heatmap sits at its (x=16, y=4) location
+    assert hm[4, 16, 0] > 0.99
+    assert hm[..., 0].max() <= 1.0 and hm[..., 0].min() >= -1.0
