@@ -35,3 +35,23 @@ timeout 6000 python tools/profile_step.py --loadSize 1024 --netG local > /tmp/pr
 # D. 1024px bf16-warp bench variant
 timeout 6000 python tools/profile_step.py --loadSize 1024 --netG local --warp_dtype bfloat16 > /tmp/profile_1024_bf16.log 2>&1
 echo TPU-QUEUE2-DONE
+# E. at-scale 18Feature check: fresh two-stage 512px run with
+#    --pose_heatmaps (the +0.46 dB 64px winner; fresh run because the
+#    encoding changes input-conv checkpoint shapes)
+mkdir -p /tmp/q18
+timeout 3000 python pre_train.py --name uv18 --checkpoints_dir /tmp/q18 \
+  --batchSize 6 --pose_path $Q/data/openpose_json --mask_path $Q/data/mask \
+  --densepose_path $Q/data/densepose --no_flip --resize_or_crop resize \
+  --data_ratio 0.9 --niter 6 --no_decay --save_epoch_freq 2 --print_freq 50 \
+  --pose_heatmaps $SIZING $PERF > /tmp/q18_uv.log 2>&1
+timeout 14000 python train.py --name e2e18 --checkpoints_dir /tmp/q18 \
+  --batchSize 2 --pose_path $Q/data/openpose_json --mask_path $Q/data/mask \
+  --img_path $Q/data/frames --densepose_path $Q/data/densepose \
+  --bg_path $Q/data/bg.jpg --texture_path $Q/data/texture.png \
+  --flow_path $Q/data/flow --flow_inv_path $Q/data/flow_inv \
+  --no_flip --resize_or_crop resize \
+  --load_pretrain_TransG /tmp/q18/uv18 --which_epoch_TransG latest \
+  --lambda_L2 500 --lambda_UV 1000 --lambda_Prob 10 --lambda_Temp 500 \
+  --use_densepose_loss --data_ratio 0.9 --niter 30 --no_decay \
+  --save_epoch_freq 10 --print_freq 50 --display_freq 10000 \
+  --pose_heatmaps $SIZING $PERF > /tmp/q18_e2e.log 2>&1
