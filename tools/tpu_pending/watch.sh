@@ -6,13 +6,16 @@ while true; do
     date "+%F %T relay port OPEN" >> /tmp/tpu_watch.log
     touch /tmp/tpu_alive
     sleep 30
-    if [ ! -e /tmp/tpu_lock ] && [ ! -e /tmp/tpu_queue_done ]; then
+    if [ ! -e /tmp/tpu_lock ] && [ ! -e /tmp/tpu_queue_done ] \
+        && mkdir /tmp/tpu_qlock1 2>/dev/null; then   # atomic: one runner
       date "+%F %T running pending queue 1" >> /tmp/tpu_watch.log
       bash /tmp/tpu_pending.sh > /tmp/tpu_queue.log 2>&1
       touch /tmp/tpu_queue_done
       date "+%F %T queue 1 finished" >> /tmp/tpu_watch.log
     fi
-    if [ ! -e /tmp/tpu_lock ] && [ -e /tmp/tpu_queue_done ] && [ ! -e /tmp/tpu_queue2_done ]; then
+    if [ ! -e /tmp/tpu_lock ] && [ -e /tmp/tpu_queue_done ] \
+        && [ ! -e /tmp/tpu_queue2_done ] \
+        && mkdir /tmp/tpu_qlock2 2>/dev/null; then   # atomic: one runner
       date "+%F %T running pending queue 2 (heavy)" >> /tmp/tpu_watch.log
       bash /tmp/tpu_pending2.sh > /tmp/tpu_queue2.log 2>&1
       touch /tmp/tpu_queue2_done
