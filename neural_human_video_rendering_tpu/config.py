@@ -111,6 +111,11 @@ class Options:
     niter: int = 100
     niter_decay: int = 100
     no_decay: bool = False
+    # exponential moving average of generator weights, used for held-out
+    # eval / saved as *_net_G_ema / preferred at inference. 0 = off (parity
+    # default: the reference's pix2pixHD lineage trains without EMA); 0.999
+    # is the usual GAN setting. Stage-2 only.
+    ema_decay: float = 0.0
 
     # ---- loss weights (train_start/pretrain_start.sh:31-37) ----
     lambda_feat: float = 10.0

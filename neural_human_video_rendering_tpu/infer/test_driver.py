@@ -158,8 +158,13 @@ def run_inference(opt, batch_size: Optional[int] = None,
     g_params = state.g_params
     run_dir = opt.run_dir
     if os.path.isdir(run_dir) and ckpt.latest_epoch(run_dir, "G"):
-        g_params = ckpt.load_net(run_dir, "G", opt.which_epoch, g_params)
-        print(f"[ckpt] loaded G epoch {opt.which_epoch} from {run_dir}", flush=True)
+        # prefer the EMA weights when the run trained with --ema_decay (the
+        # G_ema files exist only then; they are the evaluated/served track)
+        label = ("G_ema" if os.path.isfile(
+            ckpt._path(run_dir, opt.which_epoch, "G_ema")) else "G")
+        g_params = ckpt.load_net(run_dir, label, opt.which_epoch, g_params)
+        print(f"[ckpt] loaded {label} epoch {opt.which_epoch} from {run_dir}",
+              flush=True)
     else:
         print("[ckpt] no checkpoint found -> random-init demo render", flush=True)
 

@@ -153,6 +153,16 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
             state = state.replace(
                 g_params=ckpt.load_net(run_dir, "G", "latest", state.g_params),
                 d_params=ckpt.load_net(run_dir, "D", "latest", state.d_params))
+            if state.g_ema is not None:
+                # restore the EMA track if this run saved one; otherwise
+                # restart it from the resumed raw weights (e.g. EMA turned
+                # on mid-run with --continue_train)
+                if ckpt.latest_epoch(run_dir, "G_ema") is not None:
+                    state = state.replace(g_ema=ckpt.load_net(
+                        run_dir, "G_ema", "latest", state.g_ema))
+                else:
+                    state = state.replace(
+                        g_ema=jax.tree.map(jnp.copy, state.g_params))
             state, saved_ep = ckpt.load_train_state(run_dir, state)
             start_epoch = (saved_ep if saved_ep and saved_ep > 0
                            else int(ep)) + 1
@@ -191,6 +201,8 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
         ckpt.save_net(run_dir, "G", epoch, st.g_params)
         ckpt.save_net(run_dir, "D", epoch, st.d_params)
         ckpt.save_net(run_dir, "TransG", epoch, st.g_params["TransG"])
+        if st.g_ema is not None:
+            ckpt.save_net(run_dir, "G_ema", epoch, st.g_ema)
         ckpt.save_train_state(run_dir, st, epoch)
         print(f"[ckpt] saved epoch {epoch} -> {run_dir}", flush=True)
 
@@ -203,7 +215,8 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
         batch = unpack_batch(batch)   # wire-packed batches -> f32 for display
         if fwd is None:
             fwd = make_forward_fn(opt, bundle["renderer"])
-        outs = fwd(st.g_params, (st.static_tex, st.bg, st.tex_mask),
+        outs = fwd(st.g_ema if st.g_ema is not None else st.g_params,
+                   (st.static_tex, st.bg, st.tex_mask),
                    jnp.asarray(batch["joints"][:1]),
                    jnp.asarray(batch["laplace"][:1]) if "laplace" in batch else None,
                    jnp.asarray(batch["pose_img"][:1]) if "pose_img" in batch else None,
@@ -241,7 +254,10 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
                 ps, ss, n = 0.0, 0.0, 0
                 for eb in eval_loader:
                     real = jnp.asarray(eb["image"])
-                    outs = efwd(st.g_params,
+                    # evaluate what inference will serve: the EMA track
+                    # when one is being maintained (--ema_decay > 0)
+                    outs = efwd(st.g_ema if st.g_ema is not None
+                                else st.g_params,
                                 (st.static_tex, st.bg, st.tex_mask),
                                 jnp.asarray(eb["joints"]),
                                 jnp.asarray(eb["laplace"])

@@ -39,6 +39,9 @@ class TrainState:
     pool_buf: Optional[jnp.ndarray] = None   # (K, S, S, pose_nc+3)
     pool_n: Optional[jnp.ndarray] = None     # () int32 valid entries
     pool_rng: Optional[jnp.ndarray] = None   # PRNG key
+    # EMA of g_params (--ema_decay > 0): evaluated/served weights; the raw
+    # g_params keep training. None when EMA is off (parity default).
+    g_ema: Optional[Any] = None
 
 
 class FreezeUntilState(NamedTuple):
@@ -142,6 +145,9 @@ def create_train_state(opt, rng: jax.Array, static_tex, bg,
         pool_n = jnp.zeros((), jnp.int32)
     state = TrainState(
         pool_buf=pool_buf, pool_n=pool_n, pool_rng=pool_rng,
+        g_ema=(jax.tree.map(jnp.copy, g_params)
+               if with_discriminator and getattr(opt, "ema_decay", 0.0) > 0
+               else None),
         step=jnp.zeros((), jnp.int32),
         g_params=g_params,
         d_params=d_params,

@@ -222,11 +222,23 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
 
         g_ups, g_opt = g_tx.update(g_grads, state.g_opt, state.g_params)
         d_ups, d_opt = d_tx.update(d_grads, state.d_opt, state.d_params)
+        new_g = optax.apply_updates(state.g_params, g_ups)
+        ema_kwargs = {}
+        if opt.ema_decay > 0 and state.g_ema is not None:
+            # horizon-warmup (Adam-style): the effective decay ramps from 0
+            # so early EMA tracks the fast-moving init instead of averaging
+            # random weights in; converges to opt.ema_decay within ~10/(1-d)
+            # steps. All math f32 on-device — one fused elementwise pass.
+            t = (state.step + 1).astype(jnp.float32)
+            d = jnp.minimum(jnp.float32(opt.ema_decay), (1.0 + t) / (10.0 + t))
+            ema_kwargs["g_ema"] = jax.tree.map(
+                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                state.g_ema, new_g)
         new_state = state.replace(
             step=state.step + 1,
-            g_params=optax.apply_updates(state.g_params, g_ups),
+            g_params=new_g,
             d_params=optax.apply_updates(state.d_params, d_ups),
-            g_opt=g_opt, d_opt=d_opt, **pool_kwargs)
+            g_opt=g_opt, d_opt=d_opt, **pool_kwargs, **ema_kwargs)
         metrics = dict(g_losses)
         metrics["G_total"] = g_total
         metrics["D_total"] = d_total
