@@ -63,6 +63,7 @@ class Options:
     laplace_nc: int = 3              # channels loaded per LaplaceProj frame
     pose_heatmaps: bool = False      # concat n_joints Gaussian joint heatmaps to the pose input (the "18Feature" encoding of the reference's flagship run name; needs keypoint-JSON driving)
     heatmap_sigma: float = 6.0       # heatmap stddev in pixels at the model canvas
+    coord_conv: bool = False         # concat 2 normalized x/y coordinate channels to the pose input (CoordConv; helps the UV heads regress absolute atlas coordinates)
 
     # ---- generator architecture ----
     netG: str = "global"             # global | local (pix2pixHD LocalEnhancer)
@@ -121,6 +122,12 @@ class Options:
     lambda_feat: float = 10.0
     lambda_L2: float = 0.0
     lambda_UV: float = 0.0
+    # spatial-gradient supervision of the predicted UV field (quality knob of
+    # this framework, off by default for reference parity): matches finite
+    # differences of predicted UV to the DensePose pseudo-GT's within each GT
+    # part, so the warp field is locally consistent even where absolute UV
+    # drifts. Applied wherever the UV L1 applies (stage 1 + stage 2).
+    lambda_UVgrad: float = 0.0
     lambda_Prob: float = 0.0
     lambda_Temp: float = 0.0
     lambda_Mask: float = 1.0
@@ -239,6 +246,8 @@ class Options:
         nc = 3 if self.use_pose_render else 0
         if self.pose_heatmaps:
             nc += self.n_joints
+        if self.coord_conv:
+            nc += 2
         return nc + self.laplace_nc_eff
 
     @property

@@ -34,6 +34,34 @@ def uv_loss(uv_pred: jnp.ndarray, dp_uv: jnp.ndarray,
     return jnp.sum(err) / jnp.maximum(jnp.sum(fg) * 2.0, 1.0)
 
 
+def uv_grad_loss(uv_pred: jnp.ndarray, dp_uv: jnp.ndarray,
+                 dp_parts: jnp.ndarray) -> jnp.ndarray:
+    """L1 on spatial finite differences of predicted vs pseudo-GT UV.
+
+    A difference pair is supervised only when BOTH pixels carry the same
+    nonzero GT part (within-part interiors; part boundaries and background
+    contribute nothing). Complements uv_loss: absolute UV may drift under
+    noisy DensePose pseudo-GT, but the local warp Jacobian it encodes is the
+    thing texture sampling actually needs to be continuous.
+
+    uv_pred: (B,H,W,P,2); dp_uv: (B,H,W,2) in [0,1]; dp_parts: (B,H,W) int.
+    """
+    P = uv_pred.shape[3]
+    onehot = jax.nn.one_hot(dp_parts - 1, P, dtype=jnp.float32)     # (B,H,W,P)
+    pred = jnp.sum(uv_pred.astype(jnp.float32) * onehot[..., None], axis=3)
+    gt = dp_uv.astype(jnp.float32)
+    total, count = jnp.float32(0.0), jnp.float32(0.0)
+    for axis in (1, 2):
+        dp_ = jnp.diff(pred, axis=axis)
+        dg_ = jnp.diff(gt, axis=axis)
+        lo = jax.lax.slice_in_dim(dp_parts, 0, dp_parts.shape[axis] - 1, axis=axis)
+        hi = jax.lax.slice_in_dim(dp_parts, 1, dp_parts.shape[axis], axis=axis)
+        valid = ((lo == hi) & (lo > 0)).astype(jnp.float32)[..., None]
+        total += jnp.sum(jnp.abs(dp_ - dg_) * valid)
+        count += jnp.sum(valid) * 2.0
+    return total / jnp.maximum(count, 1.0)
+
+
 def part_ce_loss(logits: jnp.ndarray, dp_parts: jnp.ndarray,
                  mask: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Softmax cross-entropy of part logits vs DensePose part index.

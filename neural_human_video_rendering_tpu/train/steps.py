@@ -57,6 +57,15 @@ def build_pose_input(opt, joints: jnp.ndarray,
         hm = jax.vmap(lambda j: joint_heatmaps(
             j, S, S, sigma=opt.heatmap_sigma))(joints)
         chans.append(hm * 2.0 - 1.0)
+    if opt.coord_conv:
+        # CoordConv channels: normalized x/y in [-1,1]. The UV heads regress
+        # absolute atlas coordinates from screen position; plain convs must
+        # reconstruct position from padding asymmetries, these hand it over.
+        B = joints.shape[0]
+        ramp = jnp.linspace(-1.0, 1.0, S, dtype=jnp.float32)
+        xs = jnp.broadcast_to(ramp[None, None, :, None], (B, S, S, 1))
+        ys = jnp.broadcast_to(ramp[None, :, None, None], (B, S, S, 1))
+        chans += [xs, ys]
     if opt.use_laplace:
         if laplace is None:
             B = joints.shape[0]
@@ -188,6 +197,9 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
                     cur["uv"], batch["dp_uv"], batch["dp_parts"])
                 losses["G_Prob"] = opt.lambda_Prob * L.part_ce_loss(
                     cur["logits"], batch["dp_parts"])
+                if opt.lambda_UVgrad > 0:
+                    losses["G_UVgrad"] = opt.lambda_UVgrad * L.uv_grad_loss(
+                        cur["uv"], batch["dp_uv"], batch["dp_parts"])
             if opt.lambda_Mask > 0 and "mask" in batch:
                 losses["G_Mask"] = opt.lambda_Mask * L.mask_loss(
                     cur["mask"], batch["mask"])
@@ -293,7 +305,11 @@ def make_pretrain_uv_step(opt, transg, tx):
             l_uv = w_uv * L.uv_loss(uv, batch["dp_uv"], batch["dp_parts"])
             l_ce = w_prob * L.part_ce_loss(logits, batch["dp_parts"],
                                            batch.get("mask"))
-            return l_uv + l_ce, {"UV": l_uv, "Prob": l_ce}
+            out = {"UV": l_uv, "Prob": l_ce}
+            if opt.lambda_UVgrad > 0:
+                out["UVgrad"] = opt.lambda_UVgrad * L.uv_grad_loss(
+                    uv, batch["dp_uv"], batch["dp_parts"])
+            return functools.reduce(jnp.add, out.values()), out
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
         ups, opt_state = tx.update(grads, opt_state, params)

@@ -128,3 +128,48 @@ def test_train_step_no_lsgan(tiny_opt):
     _, metrics = step(bundle["state"], batch)
     assert np.isfinite(float(metrics["G_GAN"]))
     assert np.isfinite(float(metrics["D_total"]))
+
+
+def test_uv_grad_loss_invariant_to_constant_offset():
+    """The gradient loss supervises the local warp Jacobian: adding a
+    constant offset to the predicted UV (absolute drift) must not change
+    it, while warping the field (non-constant error) must."""
+    B, H, W, P = 1, 6, 6, 3
+    rng = np.random.RandomState(1)
+    dp_uv = rng.rand(B, H, W, 2).astype(np.float32)
+    parts = rng.randint(0, P + 1, (B, H, W)).astype(np.int32)
+    uv_pred = np.zeros((B, H, W, P, 2), np.float32)
+    for p in range(P):
+        uv_pred[..., p, :] = dp_uv
+    exact = float(L.uv_grad_loss(jnp.asarray(uv_pred), jnp.asarray(dp_uv),
+                                 jnp.asarray(parts)))
+    assert exact < 1e-6
+    shifted = float(L.uv_grad_loss(jnp.asarray(uv_pred + 0.3),
+                                   jnp.asarray(dp_uv), jnp.asarray(parts)))
+    assert shifted < 1e-6          # uv_loss would be 0.3 here
+    # vary along H: the rng(1) part map's same-part pairs are all vertical
+    ramp = np.linspace(0, 0.5, H, dtype=np.float32)[None, :, None, None, None]
+    warped = float(L.uv_grad_loss(jnp.asarray(uv_pred + ramp),
+                                  jnp.asarray(dp_uv), jnp.asarray(parts)))
+    assert warped > 1e-3
+
+
+def test_uv_grad_loss_ignores_cross_part_and_background_pairs():
+    """Only pairs with the SAME nonzero GT part on both pixels count: a
+    field that is exact inside each part but wild across boundaries and in
+    the background scores zero."""
+    B, H, W, P = 1, 4, 6, 2
+    parts = np.zeros((B, H, W), np.int32)
+    parts[:, :, :2] = 1
+    parts[:, :, 3:5] = 2           # column 2 = bg gap, column 5 = bg
+    dp_uv = np.tile(np.linspace(0, 1, W, dtype=np.float32)[None, None, :, None],
+                    (B, H, 1, 2))
+    uv_pred = np.zeros((B, H, W, P, 2), np.float32)
+    for p in range(P):
+        uv_pred[..., p, :] = dp_uv
+    # corrupt background and make the two parts disagree by a constant
+    uv_pred[:, :, 2, :, :] = 7.0   # bg column: never supervised
+    uv_pred[:, :, 3:5, :, :] += 0.4  # part 2 offset: within-part grads intact
+    got = float(L.uv_grad_loss(jnp.asarray(uv_pred), jnp.asarray(dp_uv),
+                               jnp.asarray(parts)))
+    assert got < 1e-6

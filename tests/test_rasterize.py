@@ -77,3 +77,32 @@ def test_pose_heatmaps_input_channels(tiny_opt):
     # peak of joint 0's heatmap sits at its (x=16, y=4) location
     assert hm[4, 16, 0] > 0.99
     assert hm[..., 0].max() <= 1.0 and hm[..., 0].min() >= -1.0
+
+
+def test_coord_conv_input_channels(tiny_opt):
+    """--coord_conv appends two normalized coordinate ramps (x then y) to
+    the pose input; composes with --pose_heatmaps."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import numpy as np
+
+    from neural_human_video_rendering_tpu.train.steps import build_pose_input
+    opt = dataclasses.replace(tiny_opt, coord_conv=True)
+    assert opt.pose_nc == 3 + 2
+    j = np.zeros((2, 18, 3), np.float32)
+    j[:, :, :2] = 8.0
+    j[:, :, 2] = 1.0
+    pose = build_pose_input(opt, jnp.asarray(j), None)
+    S = opt.train_size
+    assert pose.shape == (2, S, S, 5)
+    xs, ys = np.asarray(pose[0, :, :, 3]), np.asarray(pose[0, :, :, 4])
+    np.testing.assert_allclose(xs[0], np.linspace(-1, 1, S), atol=1e-6)
+    np.testing.assert_allclose(xs[-1], xs[0], atol=0)        # x: constant in y
+    np.testing.assert_allclose(ys[:, 0], np.linspace(-1, 1, S), atol=1e-6)
+    np.testing.assert_allclose(ys[:, -1], ys[:, 0], atol=0)  # y: constant in x
+    # composes with heatmaps: 3 render + 18 hm + 2 coords
+    opt2 = dataclasses.replace(tiny_opt, coord_conv=True, pose_heatmaps=True)
+    assert opt2.pose_nc == 23
+    pose2 = build_pose_input(opt2, jnp.asarray(j), None)
+    assert pose2.shape[-1] == 23
