@@ -167,16 +167,51 @@ def _topk_call(fg_planes, k, block_parts, eps=0.0):
     )(fg_planes)
 
 
+def _pack_channel_pairs(texT: jnp.ndarray) -> jnp.ndarray:
+    """bf16-round the texture and pack channel PAIRS into one i32 plane.
+
+    Hardware constraint (measured on v5e, 2026-08-19 selftest): Mosaic's
+    ``tpu.dynamic_gather`` rejects bf16 data with i32 indices ("Gather
+    indices and result have different bitwidths"), so a plain bf16 texture
+    tile cannot be lane-gathered at all. The workaround exploits that a
+    bf16 bit pattern IS the top 16 bits of its f32 representation: round
+    each channel to bf16, take the f32 bit pattern's high half, and pack
+    channels (2i, 2i+1) into one i32 as hi|lo. The kernel then gathers
+    i32 (legal: index and data bitwidths match) and unpacks with one
+    mask/shift + bitcast per channel — no numeric conversion work. Net
+    effect vs the f32 path: ceil(C/2) gathers per row fetch instead of C
+    (C=3 -> 2), at the cost of bf16-rounding the texture values (the
+    documented --warp_dtype bfloat16 semantics; error ~2^-8 relative).
+    """
+    t32 = texT.astype(jnp.bfloat16).astype(jnp.float32)
+    bits = jax.lax.bitcast_convert_type(t32, jnp.uint32)
+    hi = bits & jnp.uint32(0xFFFF0000)
+    C = hi.shape[2]
+    if C % 2:
+        hi = jnp.pad(hi, ((0, 0), (0, 0), (0, 1), (0, 0), (0, 0)))
+    packed = hi[:, :, 0::2] | (hi[:, :, 1::2] >> 16)
+    return jax.lax.bitcast_convert_type(packed, jnp.int32)
+
+
+def _unpack_pair(g: jnp.ndarray):
+    """i32 packed gather result -> (even, odd) f32 channel tiles."""
+    even = jax.lax.bitcast_convert_type(g & jnp.int32(-0x10000), jnp.float32)
+    odd = jax.lax.bitcast_convert_type(g << 16, jnp.float32)
+    return even, odd
+
+
 def _to_planes(tex, uv, probs, k, block_parts=0, eps=0.0,
                compute_dtype=jnp.float32):
-    """Returns (texT (B,P,C,T,T), u,v,w (B,P,NB,8,128), shapes).
+    """Returns (texT (B,P,C|Cpk,T,T), u,v,w (B,P,NB,8,128), shapes).
 
-    compute_dtype governs the TEXTURE planes only (the kernels derive their
-    gather/reduce precision from texT's dtype): bf16 texture rows double
-    the VPU rate of the dominant (128,128) gather+mask-reduce work, and
-    cost no information when the texture is bf16-sourced anyway (TexG runs
-    in the model dtype). Coordinates/weights stay f32 — bf16's 8-bit
-    mantissa on u*(T-1) would be half-texel position error."""
+    compute_dtype governs the TEXTURE planes only: bf16 mode bf16-rounds
+    the texture and packs channel pairs into i32 planes (see
+    _pack_channel_pairs — Mosaic cannot gather bf16 directly), halving the
+    gather count of the dominant (128,128) lane-gather work; unpacked math
+    runs f32, so bf16 mode's total error is exactly the texture-value
+    rounding. Costs no information when the texture is bf16-sourced anyway
+    (TexG runs in the model dtype). Coordinates/weights stay f32 — bf16's
+    8-bit mantissa on u*(T-1) would be half-texel position error."""
     B, P, Ht, Wt, C = tex.shape
     H, W = uv.shape[1], uv.shape[2]
     N = H * W
@@ -196,7 +231,11 @@ def _to_planes(tex, uv, probs, k, block_parts=0, eps=0.0,
     w = w.reshape(shp)
     # transposed tiles: texT[b,p,c,col,row] = tex[b,p,row,col,c]
     texT = jnp.transpose(tex, (0, 1, 4, 3, 2))
-    return texT.astype(compute_dtype), u.astype(jnp.float32), \
+    if compute_dtype == jnp.bfloat16:
+        texT = _pack_channel_pairs(texT)
+    else:
+        texT = texT.astype(compute_dtype)
+    return texT, u.astype(jnp.float32), \
         v.astype(jnp.float32), w.astype(jnp.float32), (B, P, C, H, W, NB)
 
 
@@ -230,6 +269,31 @@ def _row_gather(texT_c, y_row):
     return jnp.take_along_axis(texT_c, by, axis=1)
 
 
+def _chan_rows(texT_ref, y0, y1, C):
+    """Per-channel row fetches: [(c, rT0, rT1)] for the C real channels.
+
+    f32 planes: one gather pair per channel, returned in the plane dtype.
+    Packed i32 planes (bf16 pair packing, _pack_channel_pairs): one gather
+    pair per PLANE — ceil(C/2) instead of C — then each gathered tile is
+    unpacked into its two f32 channel tiles with mask/shift + bitcast.
+    Unused odd halves of a padded last plane are dead code Mosaic drops."""
+    out = []
+    if texT_ref.dtype == jnp.int32:
+        for cp in range(texT_ref.shape[0]):
+            rT0 = _row_gather(texT_ref[cp], y0)
+            rT1 = _row_gather(texT_ref[cp], y1)
+            e0, o0 = _unpack_pair(rT0)
+            e1, o1 = _unpack_pair(rT1)
+            out.append((2 * cp, e0, e1))
+            if 2 * cp + 1 < C:
+                out.append((2 * cp + 1, o0, o1))
+    else:
+        for c in range(C):
+            out.append((c, _row_gather(texT_ref[c], y0),
+                        _row_gather(texT_ref[c], y1)))
+    return out
+
+
 def _col_masks(x0, x1):
     iota_sub = jax.lax.broadcasted_iota(jnp.int32, (_TILE, _BLK_LANES), 0)
     m0 = (iota_sub == jnp.broadcast_to(x0, (_TILE, _BLK_LANES)))
@@ -253,13 +317,13 @@ def _fwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, out_ref):
 
     @pl.when(jnp.max(w_all) > 0.0)
     def _active():
-        C = texT_ref.shape[0]
-        # compute precision follows the texture planes' dtype (bf16 halves
-        # the VPU cost of the (128,128) gather+mask-reduce work below; the
-        # reduce adds only zeros outside the two one-hot rows, so bf16's
-        # loss is just the product rounding). The (1,128) tail — y-lerp and
-        # the blend-weight multiply-accumulate — stays f32.
+        C = out_ref.shape[0]
+        # gather/mask-reduce precision follows the texture planes' dtype;
+        # packed-i32 planes (bf16 mode) gather ceil(C/2) planes and unpack
+        # to f32, so their reduce math is f32 on bf16-rounded values. The
+        # (1,128) tail — y-lerp and the blend multiply-accumulate — is f32.
         cd = texT_ref.dtype
+        mask_dt = jnp.float32 if cd == jnp.int32 else cd
         u_all = u_ref[...]
         v_all = v_ref[...]
         acc = [[None] * _BLK_ROWS for _ in range(C)]
@@ -273,11 +337,8 @@ def _fwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, out_ref):
             # only needs top = v00*(1-wx)+v01*wx = sum(rT0 * mx), so per
             # channel it's 2 masked reduces instead of 4 (the backward
             # keeps m0/m1 separate — it needs the x-derivative)
-            mx = (m0 * (1.0 - wx) + m1 * wx).astype(cd)
-            for c in range(C):
-                texT_c = texT_ref[c]
-                rT0 = _row_gather(texT_c, y0)
-                rT1 = _row_gather(texT_c, y1)
+            mx = (m0 * (1.0 - wx) + m1 * wx).astype(mask_dt)
+            for c, rT0, rT1 in _chan_rows(texT_ref, y0, y1, C):
                 top = jnp.sum(rT0 * mx, axis=0,
                               keepdims=True).astype(jnp.float32)
                 bot = jnp.sum(rT1 * mx, axis=0,
@@ -309,12 +370,15 @@ def _bwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, g_ref,
 
     @pl.when(jnp.max(w_all) > 0.0)
     def _active():
-        C = texT_ref.shape[0]
-        # like the forward, gather/mask-reduce precision follows the
-        # texture dtype; all (1,128)-row gradient math stays f32. The bf16
-        # v00..v11 carry exactly the information the bf16-sourced texture
-        # had; the dtex matmuls run the MXU's native bf16 x bf16 -> f32.
+        C = dtexT_ref.shape[0]
+        # like the forward, gather precision follows the texture planes'
+        # dtype (packed i32 planes unpack to f32 rows); all (1,128)-row
+        # gradient math stays f32. The dtex matmuls run the MXU in bf16 in
+        # bf16 mode — the one-hot/coef operands round to bf16, accumulation
+        # is f32 (preferred_element_type below).
         cd = texT_ref.dtype
+        mask_dt = jnp.float32 if cd == jnp.int32 else cd
+        mm_dt = jnp.bfloat16 if cd == jnp.int32 else cd
         u_all = u_ref[...]
         v_all = v_ref[...]
         g_all = g_ref[...]                      # (C, 8, 128)
@@ -328,7 +392,7 @@ def _bwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, g_ref,
             w_row = w_all[r:r + 1, :]
             x0, x1, y0, y1, wx, wy = _coords(u_row, v_row, ext)
             m0, m1 = _col_masks(x0, x1)
-            m0c, m1c = m0.astype(cd), m1.astype(cd)
+            m0c, m1c = m0.astype(mask_dt), m1.astype(mask_dt)
             # one-hot row masks (y-on-sublanes, slot-on-lanes) — same
             # orientation as the column masks, so no cross-lane reshape;
             # the matmul below contracts over the slot (lane) axis
@@ -336,11 +400,8 @@ def _bwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, g_ref,
             du_acc = jnp.zeros((1, _BLK_LANES), jnp.float32)
             dv_acc = jnp.zeros((1, _BLK_LANES), jnp.float32)
             dw_acc = jnp.zeros((1, _BLK_LANES), jnp.float32)
-            for c in range(C):
-                texT_c = texT_ref[c]
+            for c, rT0, rT1 in _chan_rows(texT_ref, y0, y1, C):
                 g_row = g_all[c, r:r + 1, :]
-                rT0 = _row_gather(texT_c, y0)
-                rT1 = _row_gather(texT_c, y1)
                 v00 = jnp.sum(rT0 * m0c, axis=0,
                               keepdims=True).astype(jnp.float32)
                 v01 = jnp.sum(rT0 * m1c, axis=0,
@@ -363,14 +424,14 @@ def _bwd_kernel(ext, u_ref, v_ref, w_ref, texT_ref, g_ref,
                 c01 = gw * wx * (1 - wy)
                 c10 = gw * (1 - wx) * wy
                 c11 = gw * wx * wy
-                a0 = (m0 * c00 + m1 * c01).astype(cd)   # (c'=128, l=128)
-                a1 = (m0 * c10 + m1 * c11).astype(cd)
+                a0 = (m0 * c00 + m1 * c01).astype(mm_dt)   # (c'=128, l=128)
+                a1 = (m0 * c10 + m1 * c11).astype(mm_dt)
                 # dtexT[c', y] += sum_l a[c', l] * oh_y[y, l]
                 contract = (((1,), (1,)), ((), ()))
                 dtex_acc[c] = dtex_acc[c] + jax.lax.dot_general(
-                    a0, oh_y0.astype(cd), contract,
+                    a0, oh_y0.astype(mm_dt), contract,
                     preferred_element_type=jnp.float32) + jax.lax.dot_general(
-                    a1, oh_y1.astype(cd), contract,
+                    a1, oh_y1.astype(mm_dt), contract,
                     preferred_element_type=jnp.float32)
             du_rows[r] = du_acc
             dv_rows[r] = dv_acc
@@ -401,6 +462,7 @@ def _kernel_cost(dims):
 
 def _fwd_call(texT, u, v, w, dims, ext=_TILE):
     B, P, C, H, W, NB = dims
+    Ct = texT.shape[2]   # ceil(C/2) packed planes in bf16 mode, else C
     out = pl.pallas_call(
         functools.partial(_fwd_kernel, ext),
         grid=(B, NB, P),
@@ -415,7 +477,7 @@ def _fwd_call(texT, u, v, w, dims, ext=_TILE):
             pl.BlockSpec((None, None, None, _BLK_ROWS, _BLK_LANES),
                          lambda b, nb, p: (b, p, nb, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((None, None, C, _TILE, _TILE),
+            pl.BlockSpec((None, None, Ct, _TILE, _TILE),
                          lambda b, nb, p: (b, p, 0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -431,6 +493,7 @@ def _fwd_call(texT, u, v, w, dims, ext=_TILE):
 
 def _bwd_call(texT, u, v, w, g_planes, dims, ext=_TILE):
     B, P, C, H, W, NB = dims
+    Ct = texT.shape[2]   # ceil(C/2) packed planes in bf16 mode, else C
     blk = pl.BlockSpec((None, None, None, _BLK_ROWS, _BLK_LANES),
                        lambda b, p, nb: (b, p, nb, 0, 0),
                        memory_space=pltpu.VMEM)
@@ -440,7 +503,7 @@ def _bwd_call(texT, u, v, w, g_planes, dims, ext=_TILE):
         cost_estimate=_kernel_cost(dims),
         in_specs=[
             blk, blk, blk,
-            pl.BlockSpec((None, None, C, _TILE, _TILE),
+            pl.BlockSpec((None, None, Ct, _TILE, _TILE),
                          lambda b, p, nb: (b, p, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((None, None, C, _BLK_ROWS, _BLK_LANES),
@@ -483,11 +546,15 @@ def texture_warp_pallas(tex: jnp.ndarray, uv: jnp.ndarray,
     see _topk_dense_weights for both. ext is the effective tile edge for
     zero-padded sub-128 tiles (see _coords): uv samples the (ext-1) grid
     exactly, so the padded path is bit-identical to the unpadded op.
-    compute_dtype "bfloat16" runs the texture gathers/mask-reduces (and
-    the backward's dtex matmuls) in bf16 — precision-consistent when the
-    texture is bf16-sourced, coordinates/accumulation stay f32; error is
-    the bf16 product rounding (~2^-8 relative), under the model's own
-    bf16 conv noise. Default f32 is bit-exact vs the XLA reference.
+    compute_dtype "bfloat16" bf16-rounds the texture and packs channel
+    PAIRS into i32 planes (Mosaic cannot lane-gather bf16 directly —
+    measured v5e negative result, see _pack_channel_pairs), cutting the
+    dominant row-gather count to ceil(C/2) and halving texture VMEM
+    traffic; unpacked math runs f32, so the forward equals the f32 kernel
+    on a bf16-rounded texture BIT-EXACTLY (the dtex matmuls additionally
+    run the MXU in bf16). Costs nothing when the texture is bf16-sourced
+    (TexG runs in the model dtype). Default f32 is bit-exact vs the XLA
+    reference.
     """
     out, _ = _texture_warp_fwd(tex, uv, probs, k, block_parts, eps, ext,
                                compute_dtype)

@@ -15,9 +15,9 @@ from neural_human_video_rendering_tpu.ops.pallas_warp2 import (
     pallas_warp_supported, texture_warp_pallas)
 
 
-def _inputs(B=2, P=5, T=128, H=32, W=32, seed=0):
+def _inputs(B=2, P=5, T=128, H=32, W=32, seed=0, C=3):
     rng = np.random.RandomState(seed)
-    tex = jnp.asarray(rng.rand(B, P, T, T, 3).astype(np.float32) * 2 - 1)
+    tex = jnp.asarray(rng.rand(B, P, T, T, C).astype(np.float32) * 2 - 1)
     uv = jnp.asarray(rng.rand(B, H, W, P, 2).astype(np.float32))
     lg = rng.rand(B, H, W, P + 1).astype(np.float32) * 3
     probs = jnp.asarray(np.exp(lg) / np.exp(lg).sum(-1, keepdims=True))
@@ -320,6 +320,26 @@ def test_bf16_zero_weight_parts_still_exact_zero():
                               compute_dtype="bfloat16")
     # part-1-only blend of a bf16-rounded texture: error is pure rounding
     assert np.abs(np.asarray(out) - np.asarray(ref)).max() < 0.02
+
+
+def test_bf16_forward_bitexact_vs_f32_on_rounded_texture():
+    """The packed-i32 bf16 mode's forward is EXACTLY the f32 kernel run on
+    a bf16-rounded texture (packing moves bits, unpacked math is f32) —
+    stronger than the old tolerance contract, pinned bit-for-bit."""
+    tex, uv, probs = _inputs(P=5, seed=12)
+    tex_rounded = tex.astype(jnp.bfloat16).astype(jnp.float32)
+    ref = texture_warp_pallas(tex_rounded, uv, probs, 3)
+    out = texture_warp_pallas(tex, uv, probs, 3, compute_dtype="bfloat16")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_bf16_even_channel_count_packs_without_padding():
+    """C=4 exercises the no-pad packing branch (C=3 pads a zero plane)."""
+    tex, uv, probs = _inputs(P=4, C=4, seed=13)
+    tex_rounded = tex.astype(jnp.bfloat16).astype(jnp.float32)
+    ref = texture_warp_pallas(tex_rounded, uv, probs, 2)
+    out = texture_warp_pallas(tex, uv, probs, 2, compute_dtype="bfloat16")
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
 def test_bf16_renderer_flag_threads_through(tiny_opt):
