@@ -30,6 +30,11 @@ opt-in. The exact-kernel default measures ~5.5 steps/s here at random
 init, which is the warp's worst case: trained checkpoints run faster
 (`--ckpt` measures that regime). See docs/PERFORMANCE.md "block-part cap
 demoted".
+
+Round-3 hardware numbers (v5e, 2026-08-19): exact kernel 5.5643 steps/s /
+58.61 inference FPS; `--warp_dtype bfloat16` (packed-i32 channel pairs,
+bounded ~2^-8 texture rounding) 6.0099 steps/s / 69.7 FPS; trained-regime
+eps block-skip adds more on peaked checkpoints (round-2: 5.95 at eps=0).
 """
 
 import json
