@@ -16,6 +16,7 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import os
+import sys
 from typing import Optional, Tuple
 
 
@@ -162,6 +163,7 @@ class Options:
     target_shape: str = ""
     source_shape: str = ""
     infer_batch: int = 8             # frames per compiled inference batch
+    no_ema: bool = False             # inference: load raw G even when G_ema exists (EMA A/B evals)
     save_video: bool = False         # also assemble {results_dir}/video.mp4
     video_fps: float = 25.0
 
@@ -264,6 +266,31 @@ class Options:
             for k, v in sorted(dataclasses.asdict(self).items()):
                 f.write(f"{k}: {v}\n")
             f.write("-------------- End ----------------\n")
+        self._save_recipe()
+
+    def _save_recipe(self) -> None:
+        """Write {run_dir}/recipe.json: the exact regeneration recipe.
+
+        Trained artifacts have died with scratch disks before; this records
+        everything needed to regenerate the checkpoint byte-comparably —
+        the literal argv, the repo revision, the seed, and the resolved
+        config. opt.txt stays the human-readable pix2pixHD-contract dump;
+        recipe.json is the machine-readable one.
+        """
+        import json
+        import subprocess
+        rev = ""
+        try:
+            rev = subprocess.run(
+                ["git", "rev-parse", "HEAD"],
+                cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                capture_output=True, text=True, timeout=10).stdout.strip()
+        except Exception:
+            pass
+        rec = {"argv": sys.argv, "git_rev": rev, "seed": self.seed,
+               "config": dataclasses.asdict(self)}
+        with open(os.path.join(self.run_dir, "recipe.json"), "w") as f:
+            json.dump(rec, f, indent=1, default=str)
 
 
 def _add_flags(p: argparse.ArgumentParser) -> None:

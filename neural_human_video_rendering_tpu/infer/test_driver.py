@@ -159,9 +159,10 @@ def run_inference(opt, batch_size: Optional[int] = None,
     run_dir = opt.run_dir
     if os.path.isdir(run_dir) and ckpt.latest_epoch(run_dir, "G"):
         # prefer the EMA weights when the run trained with --ema_decay (the
-        # G_ema files exist only then; they are the evaluated/served track)
-        label = ("G_ema" if os.path.isfile(
-            ckpt._path(run_dir, opt.which_epoch, "G_ema")) else "G")
+        # G_ema files exist only then; they are the evaluated/served track);
+        # --no_ema forces the raw weights (EMA-vs-raw A/B evals)
+        label = ("G_ema" if (not opt.no_ema and os.path.isfile(
+            ckpt._path(run_dir, opt.which_epoch, "G_ema"))) else "G")
         g_params = ckpt.load_net(run_dir, label, opt.which_epoch, g_params)
         print(f"[ckpt] loaded {label} epoch {opt.which_epoch} from {run_dir}",
               flush=True)
