@@ -206,8 +206,9 @@ def _to_planes(tex, uv, probs, k, block_parts=0, eps=0.0,
 
     compute_dtype governs the TEXTURE planes only: bf16 mode bf16-rounds
     the texture and packs channel pairs into i32 planes (see
-    _pack_channel_pairs — Mosaic cannot gather bf16 directly), halving the
-    gather count of the dominant (128,128) lane-gather work; unpacked math
+    _pack_channel_pairs — Mosaic cannot gather bf16 directly), cutting the
+    gather count of the dominant (128,128) lane-gather work to ceil(C/2)/C
+    (half for even C, 2/3 for the C=3 flagship); unpacked math
     runs f32, so bf16 mode's total error is exactly the texture-value
     rounding. Costs no information when the texture is bf16-sourced anyway
     (TexG runs in the model dtype). Coordinates/weights stay f32 — bf16's
@@ -549,8 +550,9 @@ def texture_warp_pallas(tex: jnp.ndarray, uv: jnp.ndarray,
     compute_dtype "bfloat16" bf16-rounds the texture and packs channel
     PAIRS into i32 planes (Mosaic cannot lane-gather bf16 directly —
     measured v5e negative result, see _pack_channel_pairs), cutting the
-    dominant row-gather count to ceil(C/2) and halving texture VMEM
-    traffic; unpacked math runs f32, so the forward equals the f32 kernel
+    dominant row-gather count to ceil(C/2) — texture VMEM traffic drops to
+    ceil(C/2)/C (half for even C, 2/3 for the C=3 flagship); unpacked math
+    runs f32, so the forward equals the f32 kernel
     on a bf16-rounded texture BIT-EXACTLY (the dtex matmuls additionally
     run the MXU in bf16). Costs nothing when the texture is bf16-sourced
     (TexG runs in the model dtype). Default f32 is bit-exact vs the XLA

@@ -342,6 +342,29 @@ def test_bf16_even_channel_count_packs_without_padding():
     np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
 
 
+def test_bf16_even_channel_gradients_close_to_f32():
+    """Backward of the NO-PAD packing branch (C=4): the odd half-word of a
+    fully-used plane (channel 2i+1 unpack + its dtex matmul) has its own
+    code path vs the C=3 padded case — pin its gradients the same way
+    test_bf16_gradients_close_to_f32 pins C=3's."""
+    tex, uv, probs = _inputs(P=4, C=4, seed=14)
+    tex_rounded = tex.astype(jnp.bfloat16).astype(jnp.float32)
+
+    def loss(cd):
+        return lambda t, u, p: jnp.mean(
+            texture_warp_pallas(t, u, p, 3, 0, 0.0, 128, cd) ** 2)
+
+    # f32 kernel on the ROUNDED texture = the bf16 mode's exact math on
+    # everything but the dtex MXU accumulation dtype
+    g32 = jax.grad(loss("float32"), argnums=(0, 1, 2))(tex_rounded, uv, probs)
+    g16 = jax.grad(loss("bfloat16"), argnums=(0, 1, 2))(tex, uv, probs)
+    for name, a, b in zip(("dtex", "duv", "dprobs"), g32, g16):
+        a, b = np.asarray(a), np.asarray(b)
+        scale = np.abs(a).max() + 1e-6
+        assert np.abs(b - a).max() / scale < 0.03, (
+            name, np.abs(b - a).max(), scale)
+
+
 def test_bf16_renderer_flag_threads_through(tiny_opt):
     """--warp_dtype reaches the renderer (and the XLA fallback ignores it,
     staying exact on CPU test shapes)."""

@@ -39,6 +39,23 @@ def main():
     from neural_human_video_rendering_tpu.runtime import setup_jax
     setup_jax()
     import jax
+
+    # bounded backend init, same pattern as bench.py: if the axon relay is
+    # down, the first device touch blocks forever and would hang any driver
+    # that queued this harness — fail loudly instead (rc=3)
+    import threading
+
+    def _die():
+        print("bench_trained_regime: TPU backend init exceeded 15 min — "
+              "relay down? aborting", file=sys.stderr, flush=True)
+        os._exit(3)
+
+    _wd = threading.Timer(900.0, _die)
+    _wd.daemon = True
+    _wd.start()
+    jax.devices()
+    _wd.cancel()
+
     import jax.numpy as jnp
 
     from neural_human_video_rendering_tpu.config import Options
