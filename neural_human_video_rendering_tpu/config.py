@@ -65,6 +65,13 @@ class Options:
     pose_heatmaps: bool = False      # concat n_joints Gaussian joint heatmaps to the pose input (the "18Feature" encoding of the reference's flagship run name; needs keypoint-JSON driving)
     heatmap_sigma: float = 6.0       # heatmap stddev in pixels at the model canvas
     coord_conv: bool = False         # concat 2 normalized x/y coordinate channels to the pose input (CoordConv; helps the UV heads regress absolute atlas coordinates)
+    # limb-local coordinate channels (2 per limb: along-limb t and signed
+    # perpendicular distance, Gaussian-enveloped — data/rasterize.py
+    # limb_coord_maps). The structural lever against the IUV wall: DensePose
+    # UV is limb-aligned, so give the UV heads each limb's local frame
+    # directly instead of reconstructing it from the line render.
+    limb_coords: bool = False
+    limb_sigma: float = 12.0         # perpendicular Gaussian envelope (px at loadSize canvas)
 
     # ---- generator architecture ----
     netG: str = "global"             # global | local (pix2pixHD LocalEnhancer)
@@ -77,6 +84,14 @@ class Options:
     ngf_global: int = 64             # TexG width override (test_start/start.sh:17)
     n_blocks_translate: int = 9      # TransG depth (pretrainTrans.sh:13)
     n_downsample_translate: int = 4
+    # TransG IUV refinement head (quality knob of this framework, off by
+    # default for reference parity): N ResNet blocks at HALF resolution
+    # (space-to-depth packed) consuming the pose input + the coarse IUV and
+    # emitting a residual on the raw logits/UV — a dedicated high-res path
+    # past the encoder-decoder bottleneck the decomposition blames for the
+    # held-out UV error (docs/QUALITY.md).
+    uv_refine: int = 0
+    uv_refine_ngf: int = 64
     n_downsample_bg: int = 2
     n_blocks_bg: int = 2
     TexG: str = "part"
@@ -250,6 +265,9 @@ class Options:
             nc += self.n_joints
         if self.coord_conv:
             nc += 2
+        if self.limb_coords:
+            from .data.keypoints import COCO18_LIMBS
+            nc += 2 * len(COCO18_LIMBS)
         return nc + self.laplace_nc_eff
 
     @property

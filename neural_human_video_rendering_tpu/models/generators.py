@@ -184,7 +184,19 @@ def make_backbone(netG: str, out_nc: int, ngf: int, n_downsampling: int,
 
 
 class TransG(nn.Module):
-    """UV/translation generator (SURVEY.md §2 #12): pose -> IUV heads."""
+    """UV/translation generator (SURVEY.md §2 #12): pose -> IUV heads.
+
+    uv_refine > 0 adds a shallow refinement stack past the encoder-decoder
+    bottleneck: the pose input and the coarse raw IUV are space-to-depth
+    packed to HALF resolution (MXU-friendly width, no full-res few-channel
+    convs), run through uv_refine ResNet blocks, and the head emits a
+    pixel-shuffled RESIDUAL on the raw logits/UV. The quality decomposition
+    (docs/QUALITY.md) pins the held-out gap on UV/part accuracy — this is a
+    dedicated high-resolution path for exactly those channels. Identity at
+    init is not forced; the final head is a fresh conv so early training
+    perturbs, then the same IUV losses supervise the refined output end to
+    end (TransG's output IS the supervised quantity).
+    """
     n_parts: int = 24
     ngf: int = 64
     n_downsampling: int = 4
@@ -194,6 +206,8 @@ class TransG(nn.Module):
     n_blocks_local: int = 3
     stem_s2d: int = 1
     head_s2d: int = 1
+    uv_refine: int = 0
+    uv_refine_ngf: int = 64
     pad_mode: str = "reflect"
     upsample_mode: str = "deconv"
     dtype: Dtype = jnp.float32
@@ -212,6 +226,22 @@ class TransG(nn.Module):
                             stem_s2d=self.stem_s2d,
                             head_s2d=self.head_s2d,
                             dtype=self.dtype)(pose)
+        if self.uv_refine > 0:
+            f = 2 if pose.shape[1] % 2 == 0 else 1
+            x = jnp.concatenate([pose, raw], axis=-1).astype(self.dtype)
+            if f > 1:
+                x = space_to_depth(x, f)
+            x = ConvNormRelu(self.uv_refine_ngf, 3, pad_mode=self.pad_mode,
+                             dtype=self.dtype, name="refine_stem")(x)
+            for b in range(self.uv_refine):
+                x = ResnetBlock(self.uv_refine_ngf, pad_mode=self.pad_mode,
+                                dtype=self.dtype, name=f"refine_block{b}")(x)
+            delta = ConvNormRelu(out_nc * f * f, 3, use_norm=False,
+                                 use_relu=False, pad_mode=self.pad_mode,
+                                 dtype=self.dtype, name="refine_head")(x)
+            if f > 1:
+                delta = depth_to_space(delta, f)
+            raw = raw + delta.astype(jnp.float32)
         logits = raw[..., : 1 + self.n_parts]
         uv = raw[..., 1 + self.n_parts:]
         B, H, W = uv.shape[0], uv.shape[1], uv.shape[2]

@@ -34,6 +34,8 @@ class NeuralRenderer(nn.Module):
     transg_ngf: int = 64
     transg_downs: int = 4
     transg_blocks: int = 9
+    uv_refine: int = 0
+    uv_refine_ngf: int = 64
     # TexG sizing (reference: test_start/start.sh:15-17)
     texg_ngf: int = 48
     texg_downs: int = 2
@@ -109,7 +111,10 @@ class NeuralRenderer(nn.Module):
                             n_local_enhancers=self.n_local_enhancers,
                             n_blocks_local=self.n_blocks_local,
                             stem_s2d=self.stem_s2d,
-                            head_s2d=self.head_s2d, pad_mode=self.pad_mode,
+                            head_s2d=self.head_s2d,
+                            uv_refine=self.uv_refine,
+                            uv_refine_ngf=self.uv_refine_ngf,
+                            pad_mode=self.pad_mode,
                             upsample_mode=self.upsample_mode,
                             dtype=self.dtype, name="TransG")(pose)
         probs = nn.softmax(logits, axis=-1)
@@ -195,6 +200,8 @@ def renderer_from_options(opt) -> NeuralRenderer:
         transg_ngf=opt.ngf,
         transg_downs=opt.n_downsample_translate,
         transg_blocks=opt.n_blocks_translate,
+        uv_refine=opt.uv_refine,
+        uv_refine_ngf=opt.uv_refine_ngf,
         texg_ngf=opt.ngf_global,
         texg_downs=opt.n_downsample_global,
         texg_blocks=opt.n_blocks_global,

@@ -299,7 +299,8 @@ def run_pretrain_uv(opt, epochs: Optional[int] = None):
                     opt.n_blocks_translate, netG=opt.netG,
                     n_local_enhancers=opt.n_local_enhancers,
                     n_blocks_local=opt.n_blocks_local, stem_s2d=opt.stem_s2d,
-                    head_s2d=opt.head_s2d, pad_mode=opt.pad_mode,
+                    head_s2d=opt.head_s2d, uv_refine=opt.uv_refine,
+                    uv_refine_ngf=opt.uv_refine_ngf, pad_mode=opt.pad_mode,
                     upsample_mode=opt.upsample_mode, dtype=dtype)
     S = opt.train_size
     params = transg.init(jax.random.PRNGKey(opt.seed),

@@ -66,6 +66,13 @@ def build_pose_input(opt, joints: jnp.ndarray,
         xs = jnp.broadcast_to(ramp[None, None, :, None], (B, S, S, 1))
         ys = jnp.broadcast_to(ramp[None, :, None, None], (B, S, S, 1))
         chans += [xs, ys]
+    if opt.limb_coords:
+        # limb-local (t, signed d) frames — the UV heads' natural input
+        # coordinates (rasterize.limb_coord_maps). On-device, fuses in.
+        from ..data.rasterize import limb_coord_maps
+        lc = jax.vmap(lambda j: limb_coord_maps(
+            j, S, S, sigma=opt.limb_sigma))(joints)
+        chans.append(lc)
     if opt.use_laplace:
         if laplace is None:
             B = joints.shape[0]

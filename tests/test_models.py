@@ -26,6 +26,30 @@ def test_transg_output_shapes():
     assert float(uv.min()) >= 0.0 and float(uv.max()) <= 1.0
 
 
+def test_transg_uv_refine_head():
+    """--uv_refine adds the half-res residual stack: named params exist,
+    output shapes/ranges unchanged, and the refinement actually changes the
+    output (fresh head conv — not an identity)."""
+    import numpy as np
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 3)
+                    .astype(np.float32))
+    base = TransG(n_parts=4, ngf=4, n_downsampling=2, n_blocks=1)
+    ref = TransG(n_parts=4, ngf=4, n_downsampling=2, n_blocks=1,
+                 uv_refine=2, uv_refine_ngf=8)
+    pb = base.init(RNG, x)["params"]
+    pr = ref.init(RNG, x)["params"]
+    extra = set(pr.keys()) - set(pb.keys())
+    assert {"refine_stem", "refine_head"} <= extra
+    assert {f"refine_block{i}" for i in range(2)} <= extra
+    logits, uv = ref.apply({"params": pr}, x)
+    assert logits.shape == (2, 32, 32, 5)
+    assert uv.shape == (2, 32, 32, 4, 2)
+    assert float(uv.min()) >= 0.0 and float(uv.max()) <= 1.0
+    # shared-trunk outputs differ once the residual head applies
+    logits_b, _ = base.apply({"params": pb}, x)
+    assert not np.allclose(np.asarray(logits), np.asarray(logits_b))
+
+
 def test_texg_output_shape():
     m = TexG(n_parts=4, tile=16, ngf=4, n_downsampling=1, n_blocks=1)
     x = jnp.zeros((2, 32, 32, 3))

@@ -106,3 +106,57 @@ def test_coord_conv_input_channels(tiny_opt):
     assert opt2.pose_nc == 23
     pose2 = build_pose_input(opt2, jnp.asarray(j), None)
     assert pose2.shape[-1] == 23
+
+
+def test_limb_coord_maps_geometry():
+    """Limb-local frames: t runs 0->1 joint a->b along the limb, d is
+    signed perpendicular distance, both Gaussian-enveloped and zeroed for
+    low-confidence limbs."""
+    j = np.zeros((18, 3), np.float32)
+    j[:, 2] = 1.0
+    # limb 0 is (1, 2): place joint 1 at (10, 32), joint 2 at (50, 32) — a
+    # horizontal segment
+    j[1] = [10.0, 32.0, 1.0]
+    j[2] = [50.0, 32.0, 1.0]
+    lc = np.asarray(ras.limb_coord_maps(jnp.asarray(j), 64, 64, sigma=8.0))
+    assert lc.shape == (64, 64, 2 * 17)
+    t_ch, d_ch = lc[..., 0], lc[..., 1]
+    # on the segment: w=1, so t_ch = 2t-1; at joint a, t=0 -> -1; at b -> +1;
+    # midpoint -> 0
+    assert abs(t_ch[32, 10] + 1.0) < 1e-3
+    assert abs(t_ch[32, 50] - 1.0) < 1e-3
+    assert abs(t_ch[32, 30]) < 0.02
+    # d is antisymmetric across the limb and ~0 on it
+    assert abs(d_ch[32, 30]) < 1e-3
+    assert d_ch[36, 30] * d_ch[28, 30] < 0       # opposite signs
+    np.testing.assert_allclose(d_ch[36, 30], -d_ch[28, 30], atol=1e-4)
+    # Gaussian envelope: far away everything ~0 (the d channel's linear
+    # d/sigma factor softens the tail before the Gaussian kills it)
+    assert abs(t_ch[0, 63]) < 1e-3 and abs(d_ch[0, 63]) < 1e-3
+    # low-confidence endpoint zeroes the limb's two channels
+    j2 = j.copy()
+    j2[2, 2] = 0.0
+    lc2 = np.asarray(ras.limb_coord_maps(jnp.asarray(j2), 64, 64, sigma=8.0))
+    assert np.allclose(lc2[..., 0], 0.0) and np.allclose(lc2[..., 1], 0.0)
+
+
+def test_limb_coords_input_channels(tiny_opt):
+    """--limb_coords appends 2*17 limb-frame channels; composes with the
+    other encodings."""
+    import dataclasses
+
+    from neural_human_video_rendering_tpu.train.steps import build_pose_input
+    opt = dataclasses.replace(tiny_opt, limb_coords=True, limb_sigma=4.0)
+    assert opt.pose_nc == 3 + 34
+    j = np.zeros((2, 18, 3), np.float32)
+    j[:, :, 0] = 16.0
+    j[:, :, 1] = np.arange(18)[None] + 4.0
+    j[:, :, 2] = 1.0
+    pose = build_pose_input(opt, jnp.asarray(j), None)
+    assert pose.shape == (2, opt.train_size, opt.train_size, 37)
+    lc = np.asarray(pose[0, :, :, 3:])
+    assert np.abs(lc).max() > 0.5          # limbs actually present
+    opt2 = dataclasses.replace(tiny_opt, limb_coords=True, pose_heatmaps=True,
+                               coord_conv=True)
+    assert opt2.pose_nc == 3 + 18 + 2 + 34
+    assert build_pose_input(opt2, jnp.asarray(j), None).shape[-1] == opt2.pose_nc

@@ -44,6 +44,30 @@ def test_full_train_step_runs_and_updates(tiny_opt):
     assert float(jnp.abs(g1 - g0).max()) > 0
 
 
+def test_train_step_uv_refine_and_limb_coords(tiny_opt):
+    """The two round-4 IUV levers compose through the full jitted GAN step:
+    --uv_refine adds the TransG residual stack (its params must receive
+    gradients) and --limb_coords widens the pose input."""
+    opt = dataclasses.replace(_gan_opt(tiny_opt), uv_refine=1,
+                              uv_refine_ngf=4, limb_coords=True,
+                              limb_sigma=4.0)
+    assert opt.pose_nc == 3 + 34
+    ds, batch = _batch(opt)
+    bundle = create_train_state(opt, jax.random.PRNGKey(0),
+                                ds.texture_atlas(), ds.background())
+    step = st.make_train_step(opt, bundle["renderer"], bundle["disc"],
+                              bundle["vgg_params"], bundle["g_tx"],
+                              bundle["d_tx"])
+    state0 = bundle["state"]
+    assert "refine_stem" in state0.g_params["TransG"]
+    r0 = jax.tree.leaves(state0.g_params["TransG"]["refine_stem"])[0].copy()
+    state1, metrics = step(state0, batch)
+    for k in ("G_GAN", "G_UV", "G_Prob", "D_total"):
+        assert np.isfinite(float(metrics[k])), k
+    r1 = jax.tree.leaves(state1.g_params["TransG"]["refine_stem"])[0]
+    assert not np.allclose(np.asarray(r0), np.asarray(r1))
+
+
 def test_train_step_loss_decreases(tiny_opt):
     import dataclasses
     opt = dataclasses.replace(tiny_opt, lambda_L2=500, no_vgg_loss=True,
