@@ -35,6 +35,17 @@ Round-3 hardware numbers (v5e, 2026-08-19): exact kernel 5.5643 steps/s /
 58.61 inference FPS; `--warp_dtype bfloat16` (packed-i32 channel pairs,
 bounded ~2^-8 texture rounding) 6.0099 steps/s / 69.7 FPS; trained-regime
 eps block-skip adds more on peaked checkpoints (round-2: 5.95 at eps=0).
+
+Round-4 default promotion (VERDICT r3 next #2): the headline now measures
+the DEPLOYMENT regime — `--ckpt auto` loads the durable trained flagship
+(checkpoints/flagship, then checkpoints/r4/e2e_base) so the warp kernel
+sees real peaked part probabilities instead of the random-init worst case
+(an artifact of benching an untrained GAN), and `--warp_dtype` defaults to
+bfloat16, whose forward is bit-exact on the bf16-rounded texture
+(ops/pallas_warp2.py packed mode) and whose held-out 512px quality is
+A/B'd neutral (docs/PERFORMANCE.md bf16-warp promotion). The JSON line
+carries a "regime" field naming what was measured; `--ckpt '' --warp_dtype
+float32` reproduces the old bit-exact random-init number.
 """
 
 import json
@@ -47,19 +58,53 @@ V100_BASELINE_STEPS_PER_SEC = 2.0   # measured-FLOPs derivation above
 def main():
     import argparse
     ap = argparse.ArgumentParser(description=__doc__)
-    ap.add_argument("--ckpt", default="", help=(
+    ap.add_argument("--ckpt", default="auto", help=(
         "run dir of a trained checkpoint: measures the TRAINED regime — "
         "peaked part probabilities let the warp kernel's all-zero-block "
-        "skip prune most of its part loop (the default random-init "
-        "measurement is the warp's worst case)"))
-    ap.add_argument("--tex_tile", type=int, default=128)
-    ap.add_argument("--warp_dtype", default="float32",
+        "skip prune most of its part loop (random init is the warp's "
+        "worst case). 'auto' (default) picks the durable flagship under "
+        "checkpoints/ if one exists, else falls back to random init; "
+        "'' forces random init"))
+    ap.add_argument("--tex_tile", type=int, default=0, help=(
+        "texture tile; 0 = take the checkpoint recipe's value (else 128)"))
+    ap.add_argument("--warp_dtype", default="bfloat16",
                     choices=["float32", "bfloat16"], help=(
-        "Pallas warp kernel compute precision: bfloat16 halves the VPU "
-        "cost of the texture gathers/mask-reduces (bounded ~2^-8 "
-        "rounding, ops/pallas_warp2.py) — measure both; the default "
-        "headline number stays the bit-exact f32 kernel"))
+        "Pallas warp kernel compute precision: bfloat16 packs channel "
+        "pairs into i32 lanes (~2x gather rate, texture rounded to bf16 "
+        "once — forward bit-exact on that rounded texture, held-out "
+        "quality A/B'd neutral; ops/pallas_warp2.py). float32 reproduces "
+        "the bit-exact round-3 headline"))
     ns = ap.parse_args()
+
+    import os
+    repo = os.path.dirname(os.path.abspath(__file__))
+    regime = "randinit"
+    if ns.ckpt == "auto":
+        ns.ckpt = ""
+        for cand in ("checkpoints/flagship", "checkpoints/r4/e2e_base"):
+            d = os.path.join(repo, cand)
+            if os.path.exists(os.path.join(d, "latest_net_G.msgpack")):
+                ns.ckpt = d
+                break
+        if not ns.ckpt:
+            print("bench: no durable flagship checkpoint found — "
+                  "measuring random init (warp worst case)",
+                  file=sys.stderr, flush=True)
+    if ns.ckpt:
+        regime = "trained"
+        if ns.tex_tile == 0:  # honor the checkpoint's training recipe
+            try:
+                with open(os.path.join(ns.ckpt, "recipe.json")) as f:
+                    argv = json.load(f)["argv"]
+                if "--tex_tile" in argv:
+                    ns.tex_tile = int(argv[argv.index("--tex_tile") + 1])
+            except (OSError, KeyError, ValueError):
+                pass
+    if ns.tex_tile == 0:
+        ns.tex_tile = 128
+    regime += {"bfloat16": "+bf16warp", "float32": ""}[ns.warp_dtype]
+    print(f"# regime: {regime}  ckpt: {ns.ckpt or '-'}  "
+          f"tex_tile: {ns.tex_tile}", file=sys.stderr, flush=True)
 
     from neural_human_video_rendering_tpu.runtime import setup_jax
     setup_jax()
@@ -172,6 +217,7 @@ def main():
         "unit": "steps/s",
         "vs_baseline": round(steps_per_sec / V100_BASELINE_STEPS_PER_SEC, 3),
         "inference_fps": round(inference_fps, 2),
+        "regime": regime,
     }))
 
 
