@@ -56,6 +56,11 @@ _SLOW_TESTS = {
     "test_checkpoint.py::test_load_pretrain_warm_start",
     "test_crop_mode.py::test_train_step_with_crop_bg",
     "test_e2e_pipeline.py::test_full_pipeline",
+    # EMA: keep only the update-math check in the fast tier — the other two
+    # are additional full-GAN-step compiles of the same graph family
+    # (round-4 fast-tier trim; each ~100 s single-core)
+    "test_ema.py::test_ema_off_by_default",
+    "test_ema.py::test_ema_checkpoint_roundtrip_and_inference_preference",
     "test_export_serving.py::test_export_params_as_arguments",
     "test_export_serving.py::test_export_roundtrip_baked_weights",
     "test_feat_encoder.py::test_train_step_trains_encoder",
@@ -66,6 +71,7 @@ _SLOW_TESTS = {
     "test_losses.py::test_train_step_no_lsgan",
     "test_lr_schedule.py::test_stage2_state_gets_the_schedule",
     "test_pallas_warp.py::test_bf16_gradients_close_to_f32",
+    "test_pallas_warp.py::test_bf16_even_channel_gradients_close_to_f32",
     "test_pallas_warp.py::test_small_tile_pad_is_bit_exact",
     "test_parallel.py::test_data_parallel_train_step",
     "test_parallel.py::test_run_train_engages_mesh",
@@ -75,6 +81,7 @@ _SLOW_TESTS = {
     "test_train_step.py::test_symmetric_temporal_gradient_mode",
     "test_train_step.py::test_full_train_step_runs_and_updates",
     "test_train_step.py::test_train_step_loss_decreases",
+    "test_train_step.py::test_train_step_uv_refine_and_limb_coords",
     "test_wire.py::test_train_step_equivalent_packed_vs_raw",
 }
 

@@ -79,7 +79,7 @@ def train_arm(a, data, ckpt, log, size_kw):
          # frames refinement_metrics scores as held-out (the data_ratio
          # default is 1.0 — the leak class quality_profile's assert pins)
          "--data_ratio", "0.9",
-         "--niter", str(a.pre_epochs), "--no_decay",
+         "--niter", str(a.pre_epochs), "--no_decay", "--seed", str(a.seed),
          "--save_epoch_freq", "2", "--print_freq", "20"] + size_flags, log)
     run([py, "train.py", "--name", "e2e", "--checkpoints_dir", ckpt,
          "--batchSize", str(a.batch),
@@ -95,6 +95,7 @@ def train_arm(a, data, ckpt, log, size_kw):
          "--lambda_L2", "500", "--lambda_UV", "1000", "--lambda_Prob", "10",
          "--lambda_Temp", "500", "--use_densepose_loss", "--no_vgg_loss",
          "--data_ratio", "0.9", "--niter", str(a.epochs), "--no_decay",
+         "--seed", str(a.seed),
          "--save_epoch_freq", "10", "--print_freq", "50",
          "--display_freq", "10000"] + size_flags, log)
 
@@ -194,6 +195,9 @@ def main():
     p.add_argument("--how_many", type=int, default=10,
                    help="held-out frames to score")
     p.add_argument("--small", action="store_true")
+    p.add_argument("--seed", type=int, default=0,
+                   help="training init seed for both arms (seed-noise "
+                        "replicas of the A/B — round-4 anomaly check)")
     p.add_argument("--skip_train", action="store_true",
                    help="re-score existing checkpoints only")
     a = p.parse_args()
