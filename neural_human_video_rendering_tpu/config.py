@@ -62,9 +62,9 @@ class Options:
     pose_plus_laplace: bool = False
     n_joints: int = 18               # "18Feature" encoding (COCO-18 from BODY_25)
     laplace_nc: int = 3              # channels loaded per LaplaceProj frame
-    pose_heatmaps: bool = False      # concat n_joints Gaussian joint heatmaps to the pose input (the "18Feature" encoding of the reference's flagship run name; needs keypoint-JSON driving)
+    pose_heatmaps: bool = False      # concat n_joints Gaussian joint heatmaps to the pose input (the "18Feature" encoding of the reference's flagship run name; needs keypoint-JSON driving). Measured +2.32 dB held-out at 512px reference sizing (docs/quality/r4_arms_512px.json) — the recommended encoding for new trainings; off for checkpoint-shape parity.
     heatmap_sigma: float = 6.0       # heatmap stddev in pixels at the model canvas
-    coord_conv: bool = False         # concat 2 normalized x/y coordinate channels to the pose input (CoordConv; helps the UV heads regress absolute atlas coordinates)
+    coord_conv: bool = False         # concat 2 normalized x/y coordinate channels to the pose input (CoordConv; helps the UV heads regress absolute atlas coordinates). Measured +0.17 dB held-out at 512px (docs/quality/r4_arms_512px.json).
     # limb-local coordinate channels (2 per limb: along-limb t and signed
     # perpendicular distance, Gaussian-enveloped — data/rasterize.py
     # limb_coord_maps). The structural lever against the IUV wall: DensePose
@@ -143,6 +143,9 @@ class Options:
     # differences of predicted UV to the DensePose pseudo-GT's within each GT
     # part, so the warp field is locally consistent even where absolute UV
     # drifts. Applied wherever the UV L1 applies (stage 1 + stage 2).
+    # MEASURED NEGATIVE at 512px reference sizing: weight 500 costs −0.69 dB
+    # held-out (docs/quality/r4_arms_512px.json) — it over-smooths UV where
+    # sub-pixel boundary accuracy binds. Do not use at this weight.
     lambda_UVgrad: float = 0.0
     lambda_Prob: float = 0.0
     lambda_Temp: float = 0.0
