@@ -14,6 +14,18 @@ import os
 def setup_jax(cache_dir: str | None = None, debug_nans: bool = False) -> None:
     import jax
 
+    # Some deployments force-register an accelerator platform via
+    # sitecustomize with a priority that outranks the JAX_PLATFORMS env
+    # var. Re-assert the env var through jax.config so
+    # `JAX_PLATFORMS=cpu <entry point>` reliably runs host-side (CPU
+    # A/B harnesses, tests) and can never contend for the one real chip.
+    plat = os.environ.get("JAX_PLATFORMS")
+    if plat:
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass  # backend already initialized: leave it be
+
     if debug_nans:
         jax.config.update("jax_debug_nans", True)
 

@@ -146,6 +146,8 @@ def main():
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8765)
     a = p.parse_args()
+    from neural_human_video_rendering_tpu.runtime import setup_jax
+    setup_jax()  # compile cache + JAX_PLATFORMS honor before first jax use
     serve(a.model, a.host, a.port).serve_forever()
 
 

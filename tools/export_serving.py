@@ -32,6 +32,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from neural_human_video_rendering_tpu.runtime import setup_jax  # noqa: E402
+
+setup_jax()  # honor JAX_PLATFORMS before any in-process jax use
+
 
 def build_exported(opt, batch: int, bake_weights: bool = True,
                    out_uint8: bool = False):

@@ -34,6 +34,8 @@ def main():
     a = p.parse_args()
 
     os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from neural_human_video_rendering_tpu.runtime import setup_jax
+    setup_jax()  # sitecustomize may outrank the env var; re-assert it
     import jax
     import jax.numpy as jnp
 

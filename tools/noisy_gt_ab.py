@@ -36,6 +36,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
+from neural_human_video_rendering_tpu.runtime import setup_jax  # noqa: E402
+
+setup_jax()  # honor JAX_PLATFORMS before any in-process jax use
+
 SIZES_SMALL = dict(ngf=16, ngf_global=16, ndf=16,
                    n_blocks_translate=2, n_downsample_translate=2,
                    n_blocks_global=2, n_downsample_global=1,

@@ -36,6 +36,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 sys.path.insert(0, REPO)
 
+from neural_human_video_rendering_tpu.runtime import setup_jax  # noqa: E402
+
+setup_jax()  # honor JAX_PLATFORMS before any in-process jax use
+
 from tools.noisy_gt_ab import SIZES_FULL, SIZES_SMALL, _opt_for  # noqa: E402
 
 
