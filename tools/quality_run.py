@@ -78,6 +78,9 @@ def main():
     p.add_argument("--small", action="store_true",
                    help="tiny model (CPU smoke) instead of reference sizing")
     p.add_argument("--repeat", type=int, default=1)
+    p.add_argument("--extra", default="",
+                   help="extra model flags appended to every stage "
+                        "(e.g. '--limb_coords' for a 64px lever A/B)")
     a = p.parse_args()
 
     os.makedirs(a.out, exist_ok=True)
@@ -87,6 +90,9 @@ def main():
     renders = os.path.join(a.out, "renders")
     size_flags = (SMALL_FLAGS if a.small else FULL_FLAGS) + [
         "--loadSize", str(a.size), "--tex_tile", str(a.tile)]
+    if a.extra:
+        import shlex
+        size_flags += shlex.split(a.extra)
     py = sys.executable
 
     # 1. corpus from the reference demo keypoints
