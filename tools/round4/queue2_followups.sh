@@ -9,10 +9,11 @@
 #   2. serving re-export on e2e_base + HTTP ladder re-measure     (next #3)
 #   3. transfer-parity refresh at ep100 (scripted fabrication)    (next #5)
 #   4. bf16-warp holdout neutrality A/B on e2e_base       (evidence for #2)
-#   5. uvr arm : --uv_refine 3   (round-4 structural lever, next #1)
-#   6. combo arm: stack of every arm lever measured ≥ +0.15 dB    (next #1)
+#   5. combo arm: stack of every arm lever measured ≥ +0.15 dB    (next #1)
 #      — built dynamically from the queue-1 arm JSONs (hm18 +2.32 is in;
 #      cc +0.17 is in; uvg −0.69 is OUT; uvr joins if it clears +0.3)
+#   6. uvr arm : --uv_refine 3   (512px; likely skipped this window —
+#      cold compile ~95 min doesn't fit after combo; 64px fallback on CPU)
 #   7. lc arm : --limb_coords   (likely skipped; queued for next window)
 #   8. 1024px local-enhancer profile                              (next #7)
 #   9. 512px noisy pseudo-GT A/B (likely skipped — 64px anatomy runs on
@@ -126,10 +127,13 @@ sys.exit(0 if arm - base >= float(sys.argv[3]) else 1)
 EOF
 }
 
-# ---- 5. the finer-UV structural lever (cold compile: new graph) ----
-before $((HARD_END - 7200)) && run_arm uvr $D --uv_refine 3 && echo "ARM uvr DONE"
-
-# ---- 6. combo arm: stack every measured-positive lever ----
+# ---- 5. combo arm: stack every measured-positive lever ----
+# Runs BEFORE the uvr arm: on this window's clock a cold-compile uvr
+# (~95 min) would push combo past its own deadline guard, and combo is
+# the round's flagship 33 dB push while uvr has a 64px CPU-queue
+# fallback (tools/round4/cpu_queue.sh). uvr joins the stack only if its
+# 512px JSON already exists (it won't in this window — arm_wins fails
+# closed on a missing file).
 if before $((HARD_END - 6600)); then
   COMBO=""
   arm_wins hm18 0.15 && COMBO="$COMBO --pose_heatmaps"
@@ -143,6 +147,9 @@ if before $((HARD_END - 6600)); then
   [ -n "$COMBO" ] && ARM_NITER=80 ARM_DECAY=40 run_arm combo $D $COMBO \
     && echo "ARM combo DONE"
 fi
+
+# ---- 6. the finer-UV structural lever (cold compile: new graph) ----
+before $((HARD_END - 7200)) && run_arm uvr $D --uv_refine 3 && echo "ARM uvr DONE"
 
 # ---- 7. lc arm (--limb_coords): only if the window allows ----
 before $((HARD_END - 6600)) && run_arm lc $D --limb_coords && echo "ARM lc DONE"
