@@ -90,16 +90,16 @@ def main():
             print("bench: no durable flagship checkpoint found — "
                   "measuring random init (warp worst case)",
                   file=sys.stderr, flush=True)
+    recipe_cfg = {}
     if ns.ckpt:
         regime = "trained"
-        if ns.tex_tile == 0:  # honor the checkpoint's training recipe
-            try:
-                with open(os.path.join(ns.ckpt, "recipe.json")) as f:
-                    argv = json.load(f)["argv"]
-                if "--tex_tile" in argv:
-                    ns.tex_tile = int(argv[argv.index("--tex_tile") + 1])
-            except (OSError, KeyError, ValueError):
-                pass
+        try:
+            with open(os.path.join(ns.ckpt, "recipe.json")) as f:
+                recipe_cfg = json.load(f).get("config", {})
+        except (OSError, ValueError):
+            pass
+        if ns.tex_tile == 0 and "tex_tile" in recipe_cfg:
+            ns.tex_tile = int(recipe_cfg["tex_tile"])
     if ns.tex_tile == 0:
         ns.tex_tile = 128
     regime += {"bfloat16": "+bf16warp", "float32": ""}[ns.warp_dtype]
@@ -145,6 +145,27 @@ def main():
         use_densepose_loss=True, dtype="bfloat16", use_pallas_warp=True,
         warp_dtype=ns.warp_dtype,
     )
+    # Honor the checkpoint's MODEL-SHAPE flags so a flagship trained with a
+    # different pose encoding or topology (e.g. --pose_heatmaps
+    # --coord_conv, --uv_refine, --netG local) loads and benches as its own
+    # deployment regime. Perf knobs (warp_dtype, use_pallas_warp, dtype)
+    # stay bench-controlled; loss weights stay at the reference operating
+    # point (they don't gate param loading).
+    _SHAPE_KEYS = (
+        "pose_heatmaps", "heatmap_sigma", "coord_conv", "limb_coords",
+        "limb_sigma", "n_joints", "use_laplace", "pose_plus_laplace",
+        "laplace_nc", "netG", "n_local_enhancers", "n_blocks_local",
+        "ngf", "n_downsample_global", "n_blocks_global", "ngf_global",
+        "n_blocks_translate", "n_downsample_translate", "uv_refine",
+        "uv_refine_ngf", "n_downsample_bg", "n_blocks_bg", "TexG",
+        "use_mask_texture", "instance_feat", "label_feat", "feat_num",
+        "nef", "n_downsample_E", "num_D", "n_layers_D", "ndf", "n_parts",
+        "tex_rows", "tex_cols", "stem_s2d", "head_s2d", "bg_s2d",
+        "pad_mode", "upsample_mode",
+    )
+    for k in _SHAPE_KEYS:
+        if k in recipe_cfg:
+            setattr(opt, k, recipe_cfg[k])
 
     ds = dsm.SyntheticDataset(opt, length=opt.batchSize)
     batch = dsm.collate([ds[i] for i in range(opt.batchSize)])
