@@ -282,11 +282,12 @@ class Options:
         """Dump options to {checkpoints_dir}/{name}/opt.txt (pix2pixHD contract)."""
         os.makedirs(self.run_dir, exist_ok=True)
         path = os.path.join(self.run_dir, "opt.txt")
-        with open(path, "w") as f:
+        with open(path + ".tmp", "w") as f:  # atomic, see _save_recipe
             f.write("------------ Options -------------\n")
             for k, v in sorted(dataclasses.asdict(self).items()):
                 f.write(f"{k}: {v}\n")
             f.write("-------------- End ----------------\n")
+        os.replace(path + ".tmp", path)
         self._save_recipe()
 
     def _save_recipe(self) -> None:
@@ -310,8 +311,13 @@ class Options:
             pass
         rec = {"argv": sys.argv, "git_rev": rev, "seed": self.seed,
                "config": dataclasses.asdict(self)}
-        with open(os.path.join(self.run_dir, "recipe.json"), "w") as f:
+        # write-then-rename: a run forked from a `cp -al` clone of another
+        # run dir must not rewrite the parent's recipe through the shared
+        # inode (and a crash mid-write must not leave truncated JSON)
+        path = os.path.join(self.run_dir, "recipe.json")
+        with open(path + ".tmp", "w") as f:
             json.dump(rec, f, indent=1, default=str)
+        os.replace(path + ".tmp", path)
 
 
 def _add_flags(p: argparse.ArgumentParser) -> None:

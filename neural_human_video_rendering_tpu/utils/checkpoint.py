@@ -29,16 +29,27 @@ def _path(run_dir: str, epoch, label: str) -> str:
     return os.path.join(run_dir, f"{epoch}_net_{label}{EXT}")
 
 
+def _write_atomic(path: str, data: bytes) -> None:
+    """Write-then-rename so a crash mid-write can't truncate an existing
+    checkpoint, and an in-place overwrite can't leak through hardlinks
+    (run dirs are cloned with `cp -al` for --continue_train forks;
+    os.replace gives the destination a fresh inode)."""
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(data)
+    os.replace(tmp, path)
+
+
 def save_net(run_dir: str, label: str, epoch, tree: Any) -> str:
     """Save one subnet's PyTree as {epoch}_net_{label} + latest_net_{label}."""
     os.makedirs(run_dir, exist_ok=True)
     tree = jax.tree.map(np.asarray, tree)
     path = _path(run_dir, epoch, label)
-    with open(path, "wb") as f:
-        f.write(fser.msgpack_serialize(tree))
+    blob = fser.msgpack_serialize(tree)
+    _write_atomic(path, blob)
     latest = _path(run_dir, "latest", label)
     if os.path.abspath(path) != os.path.abspath(latest):
-        shutil.copyfile(path, latest)
+        _write_atomic(latest, blob)
     return path
 
 
@@ -82,8 +93,7 @@ def save_train_state(run_dir: str, state: Any, epoch) -> str:
         "epoch": int(epoch) if str(epoch).isdigit() else -1,
     }
     path = os.path.join(run_dir, f"latest_state{EXT}")
-    with open(path, "wb") as f:
-        f.write(fser.msgpack_serialize(jax.tree.map(np.asarray, blob)))
+    _write_atomic(path, fser.msgpack_serialize(jax.tree.map(np.asarray, blob)))
     return path
 
 

@@ -46,8 +46,20 @@ class Visualizer:
         # always-on machine-readable curve (beyond the reference): every
         # logged scalar lands in {run_dir}/metrics.jsonl so eval
         # trajectories are recoverable without TensorBoard
-        self.metrics_jsonl = open(os.path.join(self.run_dir,
-                                               "metrics.jsonl"), "a")
+        mpath = os.path.join(self.run_dir, "metrics.jsonl")
+        try:
+            # a run dir forked with `cp -al` shares this inode with its
+            # parent; appending through it would pollute the parent's
+            # curve — break the hardlink by rewriting a private copy
+            if os.path.exists(mpath) and os.stat(mpath).st_nlink > 1:
+                with open(mpath, "rb") as src:
+                    data = src.read()
+                with open(mpath + ".tmp", "wb") as dst:
+                    dst.write(data)
+                os.replace(mpath + ".tmp", mpath)
+        except OSError:
+            pass
+        self.metrics_jsonl = open(mpath, "a")
         self._t0 = time.time()
         self._last_print = self._t0
 

@@ -26,6 +26,25 @@ def test_save_load_roundtrip(tmp_path):
                                np.asarray(p["TexG"]["w"]))
 
 
+def test_save_breaks_hardlinks(tmp_path):
+    """A run dir forked with `cp -al` must not overwrite its parent's
+    checkpoints through shared inodes: saves are write-then-rename, so
+    the fork's save gets a fresh inode and the parent's bytes survive.
+    (Round 4 lost a parent run's latest_* to exactly this.)"""
+    import os
+    parent, fork = str(tmp_path / "parent"), str(tmp_path / "fork")
+    p0 = _params(seed=0)
+    ckpt.save_net(parent, "G", 1, p0)
+    os.makedirs(fork)
+    for f in os.listdir(parent):  # cp -al
+        os.link(os.path.join(parent, f), os.path.join(fork, f))
+    ckpt.save_net(fork, "G", 2, _params(seed=1))
+    back = ckpt.load_net(parent, "G", "latest", target=p0)
+    np.testing.assert_allclose(np.asarray(back["TransG"]["w"]),
+                               np.asarray(p0["TransG"]["w"]))
+    assert ckpt.latest_epoch(parent, "G") == "1"
+
+
 def test_latest_epoch_discovery(tmp_path):
     d = str(tmp_path)
     assert ckpt.latest_epoch(d, "G") is None

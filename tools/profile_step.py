@@ -24,7 +24,8 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 def run_trace(out_dir: str, steps: int, infer: bool, size: int = 512,
               netG: str = "global", tex_tile: int = 128,
-              warp_dtype: str = "float32", batch: int = 2) -> None:
+              warp_dtype: str = "float32", batch: int = 2,
+              ngf: int = 64, ngf_global: int = 48) -> None:
     sys.path.insert(0, REPO)
     from neural_human_video_rendering_tpu.runtime import setup_jax
     setup_jax()
@@ -37,8 +38,8 @@ def run_trace(out_dir: str, steps: int, infer: bool, size: int = 512,
 
     opt = Options(
         loadSize=size, batchSize=batch, tex_tile=tex_tile,
-        ngf=64, n_downsample_translate=4, n_blocks_translate=9,
-        ngf_global=48, n_downsample_global=2, n_blocks_global=10,
+        ngf=ngf, n_downsample_translate=4, n_blocks_translate=9,
+        ngf_global=ngf_global, n_downsample_global=2, n_blocks_global=10,
         n_downsample_bg=2, n_blocks_bg=2,
         num_D=2, n_layers_D=3, ndf=64,
         netG=netG,
@@ -129,6 +130,11 @@ if __name__ == "__main__":
     p.add_argument("--warp_dtype", default="float32",
                    choices=["float32", "bfloat16"])
     p.add_argument("--batchSize", type=int, default=2)
+    p.add_argument("--ngf", type=int, default=64, help=(
+        "TransG trunk width; the measured 1024px --netG local config is "
+        "--ngf 32 --ngf_global 24 --batchSize 1 (docs/PERFORMANCE.md) — "
+        "the 512px defaults OOM at 1024px"))
+    p.add_argument("--ngf_global", type=int, default=48)
     p.add_argument("--analyze", default="",
                    help="skip the run; analyze this trace dir")
     a = p.parse_args()
@@ -136,5 +142,5 @@ if __name__ == "__main__":
         analyze(a.analyze, a.steps)
     else:
         run_trace(a.out, a.steps, a.infer, a.loadSize, a.netG, a.tex_tile,
-                  a.warp_dtype, a.batchSize)
+                  a.warp_dtype, a.batchSize, a.ngf, a.ngf_global)
         analyze(a.out, a.steps)

@@ -82,7 +82,10 @@ if ! grep -q '"lc"' $ARMS 2>/dev/null && before $((HARD_END - 8000)); then
 fi
 
 # ---- 4. combo extension: +40 decayed epochs chasing 33 dB ----
-if [ -f $CKPT/e2e_combo/latest_net_G.msgpack ] && [ ! -f $R5/arm_comboext.json ] \
+# DONE in round 4 (val 33.30 / holdout 32.90, promoted to flagship);
+# self-skips via the arms json.
+if ! grep -q '"comboext"' $ARMS 2>/dev/null \
+   && [ -f $CKPT/e2e_combo/latest_net_G.msgpack ] \
    && before $((HARD_END - 6000)); then
   rm -rf $CKPT/e2e_comboext && cp -r $CKPT/e2e_combo $CKPT/e2e_comboext
   timeout 5400 $PY train.py --name e2e_comboext --checkpoints_dir $CKPT \
@@ -103,6 +106,7 @@ fi
 # ---- 5. 1024px local-enhancer profile (VERDICT r3 #7) ----
 if [ ! -f $R5/profile_1024.json ] && before $((HARD_END - 3000)); then
   timeout 3000 $PY tools/profile_step.py --loadSize 1024 --netG local \
+    --batchSize 1 --ngf 32 --ngf_global 24 \
     --out $R5/profile_1024 > $R5/profile_1024.log 2>&1 && echo "PROFILE1024 DONE"
 fi
 
