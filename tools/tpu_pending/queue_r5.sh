@@ -103,8 +103,35 @@ if ! grep -q '"comboext"' $ARMS 2>/dev/null \
    && eval_arm comboext --pose_heatmaps --coord_conv && echo "COMBOEXT DONE"
 fi
 
+# ---- 4b. flagship second extension: +60 more decayed epochs ----
+# At ep160 the flagship's val curve was still rising ~+0.009 dB/epoch
+# (checkpoints/flagship/metrics.jsonl tail), so a further warm-restart
+# extension (niter 80 + niter_decay 140 = 220 total, the same schedule
+# trick that paid +0.34 dB held-out for comboext) is the cheapest
+# remaining quality lever. Self-skips once measured.
+if ! grep -q '"comboext2"' $ARMS 2>/dev/null \
+   && [ -f $FLAG/latest_net_G.msgpack ] \
+   && before $((HARD_END - 6000)); then
+  rm -rf $CKPT/e2e_comboext2 && cp -r $FLAG $CKPT/e2e_comboext2
+  timeout 5400 $PY train.py --name e2e_comboext2 --checkpoints_dir $CKPT \
+    --continue_train \
+    --batchSize 2 --pose_path $D/openpose_json --mask_path $D/mask \
+    --img_path $D/frames --densepose_path $D/densepose \
+    --bg_path $D/bg.jpg --texture_path $D/texture.png \
+    --flow_path $D/flow --flow_inv_path $D/flow_inv \
+    --no_flip --resize_or_crop resize \
+    --lambda_L2 500 --lambda_UV 1000 --lambda_Prob 10 --lambda_Temp 500 \
+    --use_densepose_loss --data_ratio 0.9 --niter 80 --niter_decay 140 \
+    --ema_decay 0.999 --save_epoch_freq 60 --print_freq 50 \
+    --display_freq 10000 $SIZING $PERF --pose_heatmaps --coord_conv \
+    > $R5/comboext2_s2.log 2>&1 \
+   && eval_arm comboext2 --pose_heatmaps --coord_conv && echo "COMBOEXT2 DONE"
+fi
+
 # ---- 5. 1024px local-enhancer profile (VERDICT r3 #7) ----
-if [ ! -f $R5/profile_1024.json ] && before $((HARD_END - 3000)); then
+# DONE in round 4 (docs/perf/profile_1024_{f32,bf16}.log + PERFORMANCE.md
+# section); the durable-evidence gate below self-skips on any box.
+if [ ! -f docs/perf/profile_1024_f32.log ] && before $((HARD_END - 3000)); then
   timeout 3000 $PY tools/profile_step.py --loadSize 1024 --netG local \
     --batchSize 1 --ngf 32 --ngf_global 24 \
     --out $R5/profile_1024 > $R5/profile_1024.log 2>&1 && echo "PROFILE1024 DONE"
