@@ -104,11 +104,8 @@ if ! grep -q '"comboext"' $ARMS 2>/dev/null \
 fi
 
 # ---- 4b. flagship second extension: +60 more decayed epochs ----
-# At ep160 the flagship's val curve was still rising ~+0.009 dB/epoch
-# (checkpoints/flagship/metrics.jsonl tail), so a further warm-restart
-# extension (niter 80 + niter_decay 140 = 220 total, the same schedule
-# trick that paid +0.34 dB held-out for comboext) is the cheapest
-# remaining quality lever. Self-skips once measured.
+# DONE in round 4: val 33.46 / holdout 33.07 dB, promoted to flagship
+# (best arm of the round, +3.13 dB vs base). Self-skips via the arms json.
 if ! grep -q '"comboext2"' $ARMS 2>/dev/null \
    && [ -f $FLAG/latest_net_G.msgpack ] \
    && before $((HARD_END - 6000)); then
@@ -126,6 +123,32 @@ if ! grep -q '"comboext2"' $ARMS 2>/dev/null \
     --display_freq 10000 $SIZING $PERF --pose_heatmaps --coord_conv \
     > $R5/comboext2_s2.log 2>&1 \
    && eval_arm comboext2 --pose_heatmaps --coord_conv && echo "COMBOEXT2 DONE"
+fi
+
+# ---- 4c. combouvr extension: structure + the long schedule ----
+# combouvr (combo + --uv_refine 3) hit 33.05 dB holdout in only 120
+# epochs — what the pure-schedule flagship needed 220 to reach (33.07).
+# The open question is whether structure+schedule stack: extend combouvr
+# ep120 -> 220 with the same warm-restart decay trick. Self-skips once
+# the arms json has a combouvrext entry.
+if ! grep -q '"combouvrext"' $ARMS 2>/dev/null \
+   && [ -f $CKPT/e2e_combouvr/latest_net_G.msgpack ] \
+   && before $((HARD_END - 6000)); then
+  rm -rf $CKPT/e2e_combouvrext && cp -r $CKPT/e2e_combouvr $CKPT/e2e_combouvrext
+  timeout 5400 $PY train.py --name e2e_combouvrext --checkpoints_dir $CKPT \
+    --continue_train \
+    --batchSize 2 --pose_path $D/openpose_json --mask_path $D/mask \
+    --img_path $D/frames --densepose_path $D/densepose \
+    --bg_path $D/bg.jpg --texture_path $D/texture.png \
+    --flow_path $D/flow --flow_inv_path $D/flow_inv \
+    --no_flip --resize_or_crop resize \
+    --lambda_L2 500 --lambda_UV 1000 --lambda_Prob 10 --lambda_Temp 500 \
+    --use_densepose_loss --data_ratio 0.9 --niter 80 --niter_decay 140 \
+    --ema_decay 0.999 --save_epoch_freq 60 --print_freq 50 \
+    --display_freq 10000 $SIZING $PERF --pose_heatmaps --coord_conv --uv_refine 3 \
+    > $R5/combouvrext_s2.log 2>&1 \
+   && eval_arm combouvrext --pose_heatmaps --coord_conv --uv_refine 3 \
+   && echo "COMBOUVREXT DONE"
 fi
 
 # ---- 5. 1024px local-enhancer profile (VERDICT r3 #7) ----
