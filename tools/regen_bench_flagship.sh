@@ -1,0 +1,55 @@
+#!/bin/bash
+# Regenerate a trained bench-regime checkpoint into checkpoints/flagship.
+#
+# Why this exists: trained weights are 772 MB (G alone) — too big for git —
+# and a box recycle has now destroyed the durable flagship twice (round 3:
+# /tmp; round 4 close: checkpoints/ blobs are gitignored, so a fresh clone
+# has recipes but no weights). Without a checkpoint, bench.py falls back to
+# the random-init regime (warp block-skip worst case, ~6.0 steps/s instead
+# of ~6.5). This script restores the TRAINED regime from nothing in ~25 min
+# on one v5e chip: deterministic corpus from the reference keypoints, then
+# a shortened combo-recipe schedule (stage-1 6 ep + stage-2 40 ep) — enough
+# for peaked part probabilities even though holdout quality lands below the
+# full 220-epoch flagship (whose recipe is preserved alongside as
+# checkpoints/flagship/recipe_comboext2_full.json).
+#
+# Run blindly on any fresh box: bash tools/regen_bench_flagship.sh
+set -x
+cd "$(dirname "$0")/.."
+D=/tmp/r4/data
+[ -d $D/frames ] || { mkdir -p /tmp/r4 && \
+  timeout 1200 python tools/make_demo_data.py --out $D --size 512 --tile 64 \
+  > /tmp/r4/data.log 2>&1 || exit 1; }
+CKPT=/root/repo/checkpoints/r4
+SIZING="--ngf 64 --n_blocks_translate 9 --n_downsample_translate 4 --ngf_global 48 --n_blocks_global 10 --n_downsample_global 2 --n_blocks_bg 2 --n_downsample_bg 2 --loadSize 512 --tex_tile 64"
+PERF="--stem_s2d 2 --head_s2d 2 --bg_s2d 4 --pad_mode same --dtype bfloat16 --temporal_prev real"
+
+timeout 900 python pre_train.py --name uv_regen --checkpoints_dir $CKPT \
+  --batchSize 6 --pose_path $D/openpose_json --mask_path $D/mask \
+  --densepose_path $D/densepose --no_flip --resize_or_crop resize \
+  --niter 6 --no_decay --save_epoch_freq 6 --print_freq 50 \
+  $SIZING $PERF --pose_heatmaps --coord_conv > /tmp/regen_s1.log 2>&1 || exit 1
+echo S1-DONE
+
+timeout 1500 python train.py --name e2e_regen --checkpoints_dir $CKPT \
+  --batchSize 2 --pose_path $D/openpose_json --mask_path $D/mask \
+  --img_path $D/frames --densepose_path $D/densepose \
+  --bg_path $D/bg.jpg --texture_path $D/texture.png \
+  --flow_path $D/flow --flow_inv_path $D/flow_inv \
+  --no_flip --resize_or_crop resize \
+  --load_pretrain_TransG $CKPT/uv_regen --which_epoch_TransG latest \
+  --lambda_L2 500 --lambda_UV 1000 --lambda_Prob 10 --lambda_Temp 500 \
+  --use_densepose_loss --data_ratio 0.9 --niter 30 --niter_decay 10 \
+  --ema_decay 0.999 --save_epoch_freq 40 --print_freq 50 \
+  --display_freq 10000 $SIZING $PERF --pose_heatmaps --coord_conv \
+  > /tmp/regen_s2.log 2>&1 || exit 1
+echo S2-DONE
+
+# install: keep the full-flagship recipe alongside, then swap weights in
+FLAG=/root/repo/checkpoints/flagship
+cp $FLAG/recipe.json $FLAG/recipe_comboext2_full.json 2>/dev/null
+cp $CKPT/e2e_regen/latest_net_G.msgpack $FLAG/
+cp $CKPT/e2e_regen/latest_net_G_ema.msgpack $FLAG/ 2>/dev/null
+cp $CKPT/e2e_regen/recipe.json $FLAG/recipe.json
+cp $CKPT/e2e_regen/opt.txt $FLAG/opt.txt
+echo INSTALLED
