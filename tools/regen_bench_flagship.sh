@@ -31,7 +31,11 @@ timeout 900 python pre_train.py --name uv_regen --checkpoints_dir $CKPT \
   $SIZING $PERF --pose_heatmaps --coord_conv > /tmp/regen_s1.log 2>&1 || exit 1
 echo S1-DONE
 
-timeout 1500 python train.py --name e2e_regen --checkpoints_dir $CKPT \
+# --save_latest_freq 135 (~every 3 epochs): the stage-2 step compiles for
+# ~10 min on a cold cache, so a wall-clock cut can land before the final
+# save — frequent 'latest' saves make ANY cut point installable. On a warm
+# persistent cache (~/.cache/nhvr_jax) the whole run is ~8 min.
+timeout 2400 python train.py --name e2e_regen --checkpoints_dir $CKPT \
   --batchSize 2 --pose_path $D/openpose_json --mask_path $D/mask \
   --img_path $D/frames --densepose_path $D/densepose \
   --bg_path $D/bg.jpg --texture_path $D/texture.png \
@@ -40,9 +44,11 @@ timeout 1500 python train.py --name e2e_regen --checkpoints_dir $CKPT \
   --load_pretrain_TransG $CKPT/uv_regen --which_epoch_TransG latest \
   --lambda_L2 500 --lambda_UV 1000 --lambda_Prob 10 --lambda_Temp 500 \
   --use_densepose_loss --data_ratio 0.9 --niter 30 --niter_decay 10 \
-  --ema_decay 0.999 --save_epoch_freq 40 --print_freq 50 \
-  --display_freq 10000 $SIZING $PERF --pose_heatmaps --coord_conv \
-  > /tmp/regen_s2.log 2>&1 || exit 1
+  --ema_decay 0.999 --save_epoch_freq 40 --save_latest_freq 135 \
+  --print_freq 100 --display_freq 10000 $SIZING $PERF \
+  --pose_heatmaps --coord_conv > /tmp/regen_s2.log 2>&1
+# install whatever 'latest' the run managed to save, even if it timed out
+[ -f $CKPT/e2e_regen/latest_net_G.msgpack ] || exit 1
 echo S2-DONE
 
 # install: keep the full-flagship recipe alongside, then swap weights in
