@@ -214,7 +214,7 @@ def main():
         "laplace_nc", "netG", "n_local_enhancers", "n_blocks_local",
         "ngf", "n_downsample_global", "n_blocks_global", "ngf_global",
         "n_blocks_translate", "n_downsample_translate", "uv_refine",
-        "uv_refine_ngf", "n_downsample_bg", "n_blocks_bg", "TexG",
+        "uv_refine_ngf", "ms_uv", "n_downsample_bg", "n_blocks_bg", "TexG",
         "use_mask_texture", "instance_feat", "label_feat", "feat_num",
         "nef", "n_downsample_E", "num_D", "n_layers_D", "ndf", "n_parts",
         "tex_rows", "tex_cols", "stem_s2d", "head_s2d", "bg_s2d",

@@ -92,6 +92,16 @@ class Options:
     # held-out UV error (docs/QUALITY.md).
     uv_refine: int = 0
     uv_refine_ngf: int = 64
+    # multi-scale deep UV supervision (quality knob of this framework, off
+    # by default for reference parity): N aux IUV heads (one 3x3 conv each)
+    # at the decoder's intermediate resolutions, supervised against
+    # stride-subsampled DensePose pseudo-GT with the same UV L1 + part CE,
+    # weighted by lambda_MS relative to the full-res terms. Train-time
+    # only — the aux heads are ignored at inference and by serving export.
+    # Targets the IUV-accuracy gap the round-4 decomposition left standing
+    # (docs/quality/quality_profile_ep100.json). netG=global only.
+    ms_uv: int = 0
+    lambda_MS: float = 0.3
     n_downsample_bg: int = 2
     n_blocks_bg: int = 2
     TexG: str = "part"

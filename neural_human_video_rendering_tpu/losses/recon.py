@@ -90,3 +90,31 @@ def mask_loss(pred_mask: jnp.ndarray, gt_mask: jnp.ndarray) -> jnp.ndarray:
     """
     return jnp.mean(jnp.abs(pred_mask.astype(jnp.float32)
                             - gt_mask.astype(jnp.float32)))
+
+
+def ms_iuv_loss(aux, dp_uv: jnp.ndarray, dp_parts: jnp.ndarray,
+                mask: Optional[jnp.ndarray] = None):
+    """Deep-supervision IUV loss over --ms_uv aux heads.
+
+    aux: tuple of (logits_k (B,h,w,P+1), uv_k (B,h,w,P,2)) at intermediate
+    decoder resolutions; dp_uv/dp_parts/mask are the full-resolution
+    DensePose pseudo-GT. Each scale is supervised against the GT
+    stride-subsampled to its own (h, w) — nearest subsampling keeps part
+    indices categorical (any interpolation would invent part labels at
+    boundaries). Returns (uv_total, ce_total), each the MEAN over scales so
+    the weight of the aux objective doesn't grow with --ms_uv.
+    """
+    if not aux:
+        z = jnp.float32(0.0)
+        return z, z
+    H, W = dp_parts.shape[1], dp_parts.shape[2]
+    uv_t, ce_t = jnp.float32(0.0), jnp.float32(0.0)
+    for logits_k, uv_k in aux:
+        fh, fw = H // logits_k.shape[1], W // logits_k.shape[2]
+        parts_k = dp_parts[:, ::fh, ::fw]
+        duv_k = dp_uv[:, ::fh, ::fw]
+        uv_t += uv_loss(uv_k, duv_k, parts_k)
+        ce_t += part_ce_loss(logits_k, parts_k,
+                             mask[:, ::fh, ::fw] if mask is not None else None)
+    n = jnp.float32(len(aux))
+    return uv_t / n, ce_t / n

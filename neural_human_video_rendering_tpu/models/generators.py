@@ -54,10 +54,11 @@ class GlobalGenerator(nn.Module):
     stem_s2d: int = 1
     head_s2d: int = 1
     return_features: bool = False   # skip the head: yield (B,H,W,ngf) trunk
+    aux_heads: int = 0   # emit aux out_nc predictions at coarser decoder levels
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray):
         s = self.stem_s2d.bit_length() - 1      # log2
         h = 0 if self.return_features else self.head_s2d.bit_length() - 1
         assert 2 ** s == self.stem_s2d and (
@@ -77,6 +78,7 @@ class GlobalGenerator(nn.Module):
         for _ in range(self.n_blocks):
             x = ResnetBlock(self.ngf * 2 ** self.n_downsampling,
                             pad_mode=self.pad_mode, dtype=self.dtype)(x)
+        aux = []
         for i in range(self.n_downsampling):
             feats = self.ngf * 2 ** (self.n_downsampling - i - 1)
             if i < self.n_downsampling - h:
@@ -88,6 +90,17 @@ class GlobalGenerator(nn.Module):
                 # conv's FLOPs) match the parity topology exactly
                 x = ConvNormRelu(feats, 3, pad_mode=self.pad_mode,
                                  dtype=self.dtype)(x)
+            # deep-supervision taps: the LAST aux_heads decoder stages
+            # before the final one each emit an out_nc prediction at their
+            # own resolution (a single 3x3 head conv — train-time only,
+            # callers ignore aux at inference). Coarse heads shape the
+            # decoder features the full-res head consumes.
+            if self.aux_heads and i >= self.n_downsampling - 1 - self.aux_heads \
+                    and i < self.n_downsampling - 1:
+                aux.append(ConvNormRelu(
+                    self.out_nc, 3, use_norm=False, use_relu=False,
+                    pad_mode=self.pad_mode, dtype=self.dtype,
+                    name=f"aux_head{i}")(x).astype(jnp.float32))
         if self.return_features:
             return x          # (B, H, W, ngf) decoder features, model dtype
         x = ConvNormRelu(self.out_nc * 4 ** h, 7, use_norm=False,
@@ -96,7 +109,8 @@ class GlobalGenerator(nn.Module):
         if h:
             x = depth_to_space(x, 2 ** h)
         x = x.astype(jnp.float32)
-        return jnp.tanh(x) if self.final_tanh else x
+        out = jnp.tanh(x) if self.final_tanh else x
+        return (out, tuple(aux)) if self.aux_heads else out
 
 
 class LocalEnhancer(nn.Module):
@@ -167,10 +181,12 @@ def make_backbone(netG: str, out_nc: int, ngf: int, n_downsampling: int,
                   n_blocks: int, *, n_local_enhancers: int = 1,
                   n_blocks_local: int = 3, final_tanh: bool = True,
                   pad_mode: str = "reflect", upsample_mode: str = "deconv",
-                  stem_s2d: int = 1, head_s2d: int = 1,
+                  stem_s2d: int = 1, head_s2d: int = 1, aux_heads: int = 0,
                   dtype: Dtype = jnp.float32, name: str = None):
     """pix2pixHD define_G dispatch: 'global' | 'local'."""
     if netG == "local":
+        assert aux_heads == 0, \
+            "--ms_uv deep supervision is implemented for netG=global only"
         return LocalEnhancer(out_nc, ngf, n_downsampling, n_blocks,
                              n_local_enhancers, n_blocks_local,
                              final_tanh=final_tanh, pad_mode=pad_mode,
@@ -180,7 +196,8 @@ def make_backbone(netG: str, out_nc: int, ngf: int, n_downsampling: int,
     return GlobalGenerator(out_nc, ngf, n_downsampling, n_blocks,
                            final_tanh=final_tanh, pad_mode=pad_mode,
                            upsample_mode=upsample_mode, stem_s2d=stem_s2d,
-                           head_s2d=head_s2d, dtype=dtype, name=name)
+                           head_s2d=head_s2d, aux_heads=aux_heads,
+                           dtype=dtype, name=name)
 
 
 class TransG(nn.Module):
@@ -208,13 +225,36 @@ class TransG(nn.Module):
     head_s2d: int = 1
     uv_refine: int = 0
     uv_refine_ngf: int = 64
+    ms_uv: int = 0       # deep supervision: aux IUV heads at coarser scales
     pad_mode: str = "reflect"
     upsample_mode: str = "deconv"
     dtype: Dtype = jnp.float32
 
+    def _split_iuv(self, raw: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """raw (B,h,w,out_nc) -> (logits (B,h,w,P+1), uv (B,h,w,P,2)) — the
+        ONE place the IUV channel layout + UV squashing live, shared by the
+        full-res head and every --ms_uv aux head."""
+        logits = raw[..., : 1 + self.n_parts]
+        uv = raw[..., 1 + self.n_parts:]
+        B, H, W = uv.shape[0], uv.shape[1], uv.shape[2]
+        uv = uv.reshape(B, H, W, self.n_parts, 2)
+        uv = 0.5 * (jnp.tanh(uv) + 1.0)   # pinned: UV in [0,1]
+        return logits, uv
+
     @nn.compact
-    def __call__(self, pose: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
-        """pose (B,H,W,Cp) -> (part_logits (B,H,W,P+1), uv (B,H,W,P,2))."""
+    def __call__(self, pose: jnp.ndarray):
+        """pose (B,H,W,Cp) -> (part_logits (B,H,W,P+1), uv (B,H,W,P,2)).
+
+        With ms_uv > 0 a third element rides along: a tuple of
+        (logits_k, uv_k) at the decoder's intermediate resolutions
+        (coarse -> fine), for deep supervision against subsampled
+        DensePose pseudo-GT (train-time only — inference ignores it; the
+        aux heads cost one 3x3 conv each). Motivation: the round-4 quality
+        decomposition (docs/quality/quality_profile_ep100.json) attributes
+        the remaining held-out gap to TransG's IUV accuracy; supervising
+        the decoder's intermediate features directly shortens their
+        gradient path to the IUV objective.
+        """
         out_nc = (1 + self.n_parts) + 2 * self.n_parts
         raw = make_backbone(self.netG, out_nc, self.ngf, self.n_downsampling,
                             self.n_blocks,
@@ -225,7 +265,11 @@ class TransG(nn.Module):
                             upsample_mode=self.upsample_mode,
                             stem_s2d=self.stem_s2d,
                             head_s2d=self.head_s2d,
+                            aux_heads=self.ms_uv,
                             dtype=self.dtype)(pose)
+        aux_raw = ()
+        if self.ms_uv > 0:
+            raw, aux_raw = raw
         if self.uv_refine > 0:
             f = 2 if pose.shape[1] % 2 == 0 else 1
             x = jnp.concatenate([pose, raw], axis=-1).astype(self.dtype)
@@ -242,11 +286,9 @@ class TransG(nn.Module):
             if f > 1:
                 delta = depth_to_space(delta, f)
             raw = raw + delta.astype(jnp.float32)
-        logits = raw[..., : 1 + self.n_parts]
-        uv = raw[..., 1 + self.n_parts:]
-        B, H, W = uv.shape[0], uv.shape[1], uv.shape[2]
-        uv = uv.reshape(B, H, W, self.n_parts, 2)
-        uv = 0.5 * (jnp.tanh(uv) + 1.0)   # pinned: UV in [0,1]
+        logits, uv = self._split_iuv(raw)
+        if self.ms_uv > 0:
+            return logits, uv, tuple(self._split_iuv(a) for a in aux_raw)
         return logits, uv
 
 

@@ -36,6 +36,7 @@ class NeuralRenderer(nn.Module):
     transg_blocks: int = 9
     uv_refine: int = 0
     uv_refine_ngf: int = 64
+    ms_uv: int = 0       # deep-supervision aux IUV heads (train-time only)
     # TexG sizing (reference: test_start/start.sh:15-17)
     texg_ngf: int = 48
     texg_downs: int = 2
@@ -106,7 +107,7 @@ class NeuralRenderer(nn.Module):
         Returns dict: fake, fg, mask, probs, uv, logits, texture, bg_refined.
         """
         B = pose.shape[0]
-        logits, uv = TransG(self.n_parts, self.transg_ngf, self.transg_downs,
+        transg_out = TransG(self.n_parts, self.transg_ngf, self.transg_downs,
                             self.transg_blocks, netG=self.netG,
                             n_local_enhancers=self.n_local_enhancers,
                             n_blocks_local=self.n_blocks_local,
@@ -114,9 +115,15 @@ class NeuralRenderer(nn.Module):
                             head_s2d=self.head_s2d,
                             uv_refine=self.uv_refine,
                             uv_refine_ngf=self.uv_refine_ngf,
+                            ms_uv=self.ms_uv,
                             pad_mode=self.pad_mode,
                             upsample_mode=self.upsample_mode,
                             dtype=self.dtype, name="TransG")(pose)
+        ms_aux = ()
+        if self.ms_uv > 0:
+            logits, uv, ms_aux = transg_out
+        else:
+            logits, uv = transg_out
         probs = nn.softmax(logits, axis=-1)
 
         texg_in = pose
@@ -183,11 +190,14 @@ class NeuralRenderer(nn.Module):
 
         mask = (1.0 - probs[..., :1])          # (B, H, W, 1) soft fg mask
         fake = mask * fg + (1.0 - mask) * bg_refined
-        return {
+        out = {
             "fake": fake, "fg": fg, "mask": mask, "probs": probs,
             "logits": logits, "uv": uv, "texture": texture,
             "bg_refined": bg_refined,
         }
+        if self.ms_uv > 0:
+            out["ms_aux"] = ms_aux   # tuple of (logits_k, uv_k), train-only
+        return out
 
 
 def renderer_from_options(opt) -> NeuralRenderer:
@@ -202,6 +212,7 @@ def renderer_from_options(opt) -> NeuralRenderer:
         transg_blocks=opt.n_blocks_translate,
         uv_refine=opt.uv_refine,
         uv_refine_ngf=opt.uv_refine_ngf,
+        ms_uv=opt.ms_uv,
         texg_ngf=opt.ngf_global,
         texg_downs=opt.n_downsample_global,
         texg_blocks=opt.n_blocks_global,

@@ -300,7 +300,8 @@ def run_pretrain_uv(opt, epochs: Optional[int] = None):
                     n_local_enhancers=opt.n_local_enhancers,
                     n_blocks_local=opt.n_blocks_local, stem_s2d=opt.stem_s2d,
                     head_s2d=opt.head_s2d, uv_refine=opt.uv_refine,
-                    uv_refine_ngf=opt.uv_refine_ngf, pad_mode=opt.pad_mode,
+                    uv_refine_ngf=opt.uv_refine_ngf, ms_uv=opt.ms_uv,
+                    pad_mode=opt.pad_mode,
                     upsample_mode=opt.upsample_mode, dtype=dtype)
     S = opt.train_size
     params = transg.init(jax.random.PRNGKey(opt.seed),

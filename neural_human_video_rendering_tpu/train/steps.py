@@ -207,6 +207,14 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
                 if opt.lambda_UVgrad > 0:
                     losses["G_UVgrad"] = opt.lambda_UVgrad * L.uv_grad_loss(
                         cur["uv"], batch["dp_uv"], batch["dp_parts"])
+                if opt.ms_uv > 0:
+                    # deep supervision at the decoder's intermediate scales
+                    # (--ms_uv), weighted lambda_MS relative to the full-res
+                    # UV/CE terms
+                    ms_uv_l, ms_ce_l = L.ms_iuv_loss(
+                        cur["ms_aux"], batch["dp_uv"], batch["dp_parts"])
+                    losses["G_MSUV"] = opt.lambda_MS * (
+                        opt.lambda_UV * ms_uv_l + opt.lambda_Prob * ms_ce_l)
             if opt.lambda_Mask > 0 and "mask" in batch:
                 losses["G_Mask"] = opt.lambda_Mask * L.mask_loss(
                     cur["mask"], batch["mask"])
@@ -308,7 +316,8 @@ def make_pretrain_uv_step(opt, transg, tx):
                                 batch.get("pose_img"))
 
         def loss_fn(p):
-            logits, uv = transg.apply({"params": p}, pose)
+            tout = transg.apply({"params": p}, pose)
+            logits, uv = tout[0], tout[1]
             l_uv = w_uv * L.uv_loss(uv, batch["dp_uv"], batch["dp_parts"])
             l_ce = w_prob * L.part_ce_loss(logits, batch["dp_parts"],
                                            batch.get("mask"))
@@ -316,6 +325,12 @@ def make_pretrain_uv_step(opt, transg, tx):
             if opt.lambda_UVgrad > 0:
                 out["UVgrad"] = opt.lambda_UVgrad * L.uv_grad_loss(
                     uv, batch["dp_uv"], batch["dp_parts"])
+            if opt.ms_uv > 0:
+                ms_uv_l, ms_ce_l = L.ms_iuv_loss(
+                    tout[2], batch["dp_uv"], batch["dp_parts"],
+                    batch.get("mask"))
+                out["MSUV"] = opt.lambda_MS * (w_uv * ms_uv_l
+                                               + w_prob * ms_ce_l)
             return functools.reduce(jnp.add, out.values()), out
 
         (total, losses), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)

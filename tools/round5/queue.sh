@@ -1,0 +1,209 @@
+#!/bin/bash
+# Round-5 TPU queue. Sequential (ONE process may hold the TPU); each item
+# self-skips when its evidence exists, so the queue can re-run blindly.
+# Stop it with: kill $(cat /tmp/r5_queue.pid)
+#
+# Agenda (VERDICT r4 "next round" #2-#6):
+#   1. Replay the full 220-epoch flagship (comboext2 recipe, three exact
+#      segments per checkpoints/r4/e2e_combo{,ext,ext2}/recipe.json) —
+#      the 33 dB weights died with the round-4 box; recipes survived.
+#   2. Install into checkpoints/flagship (complete set + provenance).
+#   3. --ms_uv deep-supervision 64px A/B gate, then the 512px arm.
+#   4. combouvr replay + ep120->220 extension (structure+schedule probe).
+#   5. --limb_coords 512px arm (unmeasured two rounds).
+#   6. 512px noisy pseudo-GT A/B.
+set -x
+cd "$(dirname "$0")/../.."
+ROOT=$(pwd)
+echo $$ > /tmp/r5_queue.pid
+R5=/tmp/r5run; mkdir -p $R5
+D=/tmp/r4/data
+CKPT=$ROOT/checkpoints/r5
+FLAG=$ROOT/checkpoints/flagship
+ARMS=$ROOT/docs/quality/r5_arms_512px.json
+mkdir -p $CKPT $ROOT/docs/quality
+SIZING="--ngf 64 --n_blocks_translate 9 --n_downsample_translate 4 --ngf_global 48 --n_blocks_global 10 --n_downsample_global 2 --n_blocks_bg 2 --n_downsample_bg 2 --loadSize 512 --tex_tile 64"
+PERF="--stem_s2d 2 --head_s2d 2 --bg_s2d 4 --pad_mode same --dtype bfloat16 --temporal_prev real"
+PY=python
+HARD_END=${HARD_END:-$(( $(date +%s) + 30000 ))}
+before () { [ "$(date +%s)" -lt $(( HARD_END - $1 )) ]; }
+
+# ---- corpus (deterministic from the reference keypoints) ----
+[ -d $D/frames ] || { mkdir -p /tmp/r4 && \
+  timeout 1200 $PY tools/make_demo_data.py --out $D --size 512 --tile 64 \
+  > $R5/data.log 2>&1 || exit 1; }
+mkdir -p $D/holdout_json $D/holdout_gt
+ls $D/openpose_json | sort | tail -10 | while read f; do ln -sf $D/openpose_json/$f $D/holdout_json/$f; done
+ls $D/frames | sort | tail -10 | while read f; do ln -sf $D/frames/$f $D/holdout_gt/$f; done
+
+DATAF="--pose_path $D/openpose_json --mask_path $D/mask --img_path $D/frames \
+ --densepose_path $D/densepose --bg_path $D/bg.jpg --texture_path $D/texture.png \
+ --flow_path $D/flow --flow_inv_path $D/flow_inv --no_flip --resize_or_crop resize"
+LOSSES="--lambda_L2 500 --lambda_UV 1000 --lambda_Prob 10 --lambda_Temp 500 --use_densepose_loss --data_ratio 0.9"
+
+eval_arm () {  # $1 run name, rest extra flags -> $R5/arm_$1.json
+  local arm=$1; shift
+  timeout 4500 $PY test.py --name $arm --checkpoints_dir $CKPT \
+    --pose_path $D/holdout_json --bg_path $D/bg.jpg \
+    --texture_path $D/texture.png --results_dir $R5/renders_$arm \
+    --which_epoch latest --target_shape 512,512 --phase test \
+    $SIZING "$@" > $R5/${arm}_test.log 2>&1 || return 1
+  timeout 1200 $PY evaluate.py --results_dir $R5/renders_$arm/images \
+    --gt_dir $D/holdout_gt --loadSize 512 --no_vgg --metric temporal \
+    --out $R5/arm_${arm}.json >> $R5/${arm}_test.log 2>&1
+}
+
+stage1 () {  # $1 name, rest extra flags
+  local name=$1; shift
+  [ -f $CKPT/$name/latest_net_TransG.msgpack ] && return 0
+  timeout 4500 $PY pre_train.py --name $name --checkpoints_dir $CKPT \
+    --batchSize 6 --pose_path $D/openpose_json --mask_path $D/mask \
+    --densepose_path $D/densepose --no_flip --resize_or_crop resize \
+    --niter 6 --no_decay --save_epoch_freq 6 --print_freq 50 \
+    $SIZING $PERF "$@" > $R5/${name}.log 2>&1
+}
+
+# ======== 1. flagship replay: combo(120) -> ext(160) -> ext2(220) ========
+# exact segment schedules from the preserved recipes (niter/niter_decay:
+# 80/40 fresh, then continue_train 80/80, then 80/140 — the warm-restart
+# decay trick that bought the last +0.4 dB in round 4)
+FLAGDONE=$ROOT/docs/quality/r5_flagship.json
+if [ ! -f $FLAGDONE ] && before 20000; then
+  stage1 uv_flag --pose_heatmaps --coord_conv || exit 1
+  if [ ! -f $CKPT/e2e_flag/latest_net_G.msgpack ] \
+     || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_flag/metrics.jsonl')))" 2>/dev/null)" -lt 120 ]; then
+    timeout 7200 $PY train.py --name e2e_flag --checkpoints_dir $CKPT \
+      --batchSize 2 $DATAF \
+      --load_pretrain_TransG $CKPT/uv_flag --which_epoch_TransG latest \
+      $LOSSES --niter 80 --niter_decay 40 \
+      --ema_decay 0.999 --save_epoch_freq 120 --save_latest_freq 450 \
+      --print_freq 200 --display_freq 10000 $SIZING $PERF \
+      --pose_heatmaps --coord_conv > $R5/e2e_flag.log 2>&1 || exit 1
+  fi
+  echo SEG-A-DONE
+  if [ ! -f $CKPT/e2e_flagext/latest_net_G.msgpack ] \
+     || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_flagext/metrics.jsonl')))" 2>/dev/null)" -lt 160 ]; then
+    rm -rf $CKPT/e2e_flagext && cp -r $CKPT/e2e_flag $CKPT/e2e_flagext
+    timeout 5400 $PY train.py --name e2e_flagext --checkpoints_dir $CKPT \
+      --continue_train --batchSize 2 $DATAF \
+      $LOSSES --niter 80 --niter_decay 80 \
+      --ema_decay 0.999 --save_epoch_freq 160 --save_latest_freq 450 \
+      --print_freq 200 --display_freq 10000 $SIZING $PERF \
+      --pose_heatmaps --coord_conv > $R5/e2e_flagext.log 2>&1 || exit 1
+  fi
+  echo SEG-B-DONE
+  if [ ! -f $CKPT/e2e_flagext2/latest_net_G.msgpack ] \
+     || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_flagext2/metrics.jsonl')))" 2>/dev/null)" -lt 220 ]; then
+    rm -rf $CKPT/e2e_flagext2 && cp -r $CKPT/e2e_flagext $CKPT/e2e_flagext2
+    timeout 5400 $PY train.py --name e2e_flagext2 --checkpoints_dir $CKPT \
+      --continue_train --batchSize 2 $DATAF \
+      $LOSSES --niter 80 --niter_decay 140 \
+      --ema_decay 0.999 --save_epoch_freq 220 --save_latest_freq 450 \
+      --print_freq 200 --display_freq 10000 $SIZING $PERF \
+      --pose_heatmaps --coord_conv > $R5/e2e_flagext2.log 2>&1 || exit 1
+  fi
+  echo SEG-C-DONE
+  eval_arm e2e_flagext2 --pose_heatmaps --coord_conv || exit 1
+  # promote on the holdout gate (>= 31 dB: well past the regen stub, and
+  # any genuine 220-epoch replay lands ~33)
+  if $PY - $R5/arm_e2e_flagext2.json <<'EOF'
+import json, sys
+sys.exit(0 if json.load(open(sys.argv[1]))["psnr"] >= 31.0 else 1)
+EOF
+  then
+    SRC=$CKPT/e2e_flagext2
+    [ -f $FLAG/recipe_comboext2_full.json ] || cp $FLAG/recipe.json $FLAG/recipe_comboext2_full.json
+    for f in latest_net_G.msgpack latest_net_D.msgpack latest_net_TransG.msgpack \
+             latest_net_G_ema.msgpack latest_state.msgpack recipe.json opt.txt metrics.jsonl; do
+      [ -f $SRC/$f ] && cp $SRC/$f $FLAG/ || echo "WARN: $SRC/$f absent"
+    done
+    cp $R5/arm_e2e_flagext2.json $FLAGDONE
+    $PY - $SRC $FLAG $R5/arm_e2e_flagext2.json <<'EOF'
+import json, sys, datetime
+src, flag, armf = sys.argv[1:4]
+ep = val = None
+for line in open(src + "/metrics.jsonl"):
+    try: rec = json.loads(line)
+    except ValueError: continue
+    if "epoch" in rec: ep = max(ep or 0, int(rec["epoch"]))
+    if "val_PSNR" in rec: val = rec["val_PSNR"]
+hold = json.load(open(armf))
+open(flag + "/RESTORED.md", "w").write(
+    f"Full 220-epoch flagship replay installed {datetime.date.today()} by "
+    f"tools/round5/queue.sh (three segments per the preserved comboext2 "
+    f"recipes). Final epoch {ep}, val_PSNR {round(val,2)} dB, holdout "
+    f"PSNR {round(hold['psnr'],2)} / SSIM {round(hold['ssim'],4)}.\n")
+EOF
+    echo FLAGSHIP-REPLAYED
+  fi
+fi
+
+# ======== 2. --ms_uv 64px A/B gate ========
+MS64=$ROOT/docs/quality/ms_uv_64px.json
+if [ ! -f $MS64 ] && before 16000; then
+  timeout 7200 $PY tools/round5/ms_uv_ab64.py --out $MS64 \
+    > $R5/ms64.log 2>&1 && echo MS64-DONE
+fi
+
+# ======== 3. --ms_uv 512px arm (100 ep, r4-arms-comparable schedule) ====
+arm_512 () {  # $1 arm name, rest extra flags (fresh 6+100-epoch run)
+  local arm=$1; shift
+  grep -q "\"$arm\"" $ARMS 2>/dev/null && return 0
+  [ -f $R5/arm_e2e_$arm.json ] && return 0
+  stage1 uv_$arm "$@" || return 1
+  timeout 7200 $PY train.py --name e2e_$arm --checkpoints_dir $CKPT \
+    --batchSize 2 $DATAF \
+    --load_pretrain_TransG $CKPT/uv_$arm --which_epoch_TransG latest \
+    $LOSSES --niter 60 --niter_decay 40 \
+    --ema_decay 0.999 --save_epoch_freq 100 --save_latest_freq 450 \
+    --print_freq 200 --display_freq 10000 $SIZING $PERF "$@" \
+    > $R5/e2e_$arm.log 2>&1 || return 1
+  eval_arm e2e_$arm "$@"
+}
+if before 14000; then
+  arm_512 msuv --pose_heatmaps --coord_conv --ms_uv 2 && echo ARM-MSUV-DONE
+fi
+
+# ======== 4. combouvr replay + ep120->220 extension ========
+if [ ! -f $R5/arm_e2e_cuvrext.json ] && before 9000; then
+  stage1 uv_cuvr --pose_heatmaps --coord_conv --uv_refine 3 || exit 1
+  if [ ! -f $CKPT/e2e_cuvr/latest_net_G.msgpack ] \
+     || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_cuvr/metrics.jsonl')))" 2>/dev/null)" -lt 120 ]; then
+    timeout 7200 $PY train.py --name e2e_cuvr --checkpoints_dir $CKPT \
+      --batchSize 2 $DATAF \
+      --load_pretrain_TransG $CKPT/uv_cuvr --which_epoch_TransG latest \
+      $LOSSES --niter 80 --niter_decay 40 \
+      --ema_decay 0.999 --save_epoch_freq 120 --save_latest_freq 450 \
+      --print_freq 200 --display_freq 10000 $SIZING $PERF \
+      --pose_heatmaps --coord_conv --uv_refine 3 > $R5/e2e_cuvr.log 2>&1 || exit 1
+  fi
+  eval_arm e2e_cuvr --pose_heatmaps --coord_conv --uv_refine 3
+  if [ ! -f $CKPT/e2e_cuvrext/latest_net_G.msgpack ] \
+     || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_cuvrext/metrics.jsonl')))" 2>/dev/null)" -lt 220 ]; then
+    rm -rf $CKPT/e2e_cuvrext && cp -r $CKPT/e2e_cuvr $CKPT/e2e_cuvrext
+    timeout 7200 $PY train.py --name e2e_cuvrext --checkpoints_dir $CKPT \
+      --continue_train --batchSize 2 $DATAF \
+      $LOSSES --niter 80 --niter_decay 140 \
+      --ema_decay 0.999 --save_epoch_freq 220 --save_latest_freq 450 \
+      --print_freq 200 --display_freq 10000 $SIZING $PERF \
+      --pose_heatmaps --coord_conv --uv_refine 3 > $R5/e2e_cuvrext.log 2>&1 || exit 1
+  fi
+  eval_arm e2e_cuvrext --pose_heatmaps --coord_conv --uv_refine 3 \
+    && echo CUVREXT-DONE
+fi
+
+# ======== 5. --limb_coords 512px arm ========
+if before 7000; then
+  arm_512 lc --pose_heatmaps --coord_conv --limb_coords && echo ARM-LC-DONE
+fi
+
+# ======== 6. 512px noisy pseudo-GT A/B ========
+if [ ! -f $ROOT/docs/quality/noisy_gt_ab_512px.json ] && before 3000; then
+  timeout 20000 $PY tools/noisy_gt_ab.py --out $R5/noisyab512 --size 512 \
+    --tile 64 --epochs 20 --pre_epochs 4 --corrupt 0.6 --how_many 10 \
+    > $R5/noisyab512.log 2>&1 \
+    && cp $R5/noisyab512/noisy_gt_ab.json $ROOT/docs/quality/noisy_gt_ab_512px.json \
+    && echo NOISYAB512-DONE
+fi
+
+echo R5-QUEUE-DONE
