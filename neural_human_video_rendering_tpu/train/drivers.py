@@ -24,6 +24,7 @@ from ..data.wire import pack_batch
 from ..models.generators import TexG, TransG
 from ..parallel.mesh import make_mesh, replicate
 from ..utils import checkpoint as ckpt
+from ..utils.visualizer import prune_metrics_after
 from .loop import run_training
 from .state import create_train_state, make_optimizer
 from .steps import (make_pretrain_tex_step, make_pretrain_uv_step,
@@ -166,6 +167,11 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
             state, saved_ep = ckpt.load_train_state(run_dir, state)
             start_epoch = (saved_ep if saved_ep and saved_ep > 0
                            else int(ep)) + 1
+            if jax.process_index() == 0:
+                # epochs >= start_epoch are about to be re-run; their old
+                # log lines belong to the continuation that died after
+                # this save — drop them so the curve has unique epochs
+                prune_metrics_after(run_dir, start_epoch - 1)
             print(f"[ckpt] resumed from epoch {ep} "
                   f"(optimizer state {'restored' if saved_ep else 'fresh'})",
                   flush=True)
@@ -310,10 +316,14 @@ def run_pretrain_uv(opt, epochs: Optional[int] = None):
     opt_state = tx.init(params)
     run_dir = opt.run_dir
 
+    start_epoch = 1
     if opt.continue_train:
         ep = ckpt.latest_epoch(run_dir, "TransG")
         if ep is not None:
             params = ckpt.load_net(run_dir, "TransG", "latest", params)
+            start_epoch = int(ep) + 1
+            if jax.process_index() == 0:
+                prune_metrics_after(run_dir, start_epoch - 1)
             print(f"[ckpt] resumed from epoch {ep}", flush=True)
 
     mesh = _maybe_mesh(opt)
@@ -335,7 +345,7 @@ def run_pretrain_uv(opt, epochs: Optional[int] = None):
 
     n_epochs = epochs if epochs is not None else opt.niter
     return run_training(opt, loader, step_fn, carry0, n_epochs,
-                        save_fn, mesh=mesh)
+                        save_fn, start_epoch=start_epoch, mesh=mesh)
 
 
 # ----------------------------------------------------------------------
@@ -420,10 +430,14 @@ def run_pretrain_tex(opt, epochs: Optional[int] = None):
     opt_state = tx.init(params)
     run_dir = opt.run_dir
 
+    start_epoch = 1
     if opt.continue_train:
         ep = ckpt.latest_epoch(run_dir, "TexG")
         if ep is not None:
             params = ckpt.load_net(run_dir, "TexG", "latest", params)
+            start_epoch = int(ep) + 1
+            if jax.process_index() == 0:
+                prune_metrics_after(run_dir, start_epoch - 1)
             print(f"[ckpt] resumed from epoch {ep}", flush=True)
 
     mesh = _maybe_mesh(opt)
@@ -445,4 +459,4 @@ def run_pretrain_tex(opt, epochs: Optional[int] = None):
 
     n_epochs = epochs if epochs is not None else opt.niter
     return run_training(opt, loader, step_fn, carry0, n_epochs,
-                        save_fn, mesh=mesh)
+                        save_fn, start_epoch=start_epoch, mesh=mesh)

@@ -23,6 +23,42 @@ from .html import HTMLGallery
 from .image import save_image, to_uint8
 
 
+def prune_metrics_after(run_dir: str, last_kept_epoch: int) -> int:
+    """Drop metrics.jsonl records from epochs about to be re-run.
+
+    A --continue_train resume restarts from the last SAVED epoch, which can
+    be older than the last LOGGED epoch (the continuation that died after
+    its save). Without pruning, the re-trained epochs append a second copy
+    of every loss/val line and the curve stops being machine-readable
+    (round-4 combouvr logged epochs 61-100 twice). Called at resume time,
+    before the Visualizer reopens the file in append mode: keeps records
+    with epoch <= last_kept_epoch (and any without an epoch field), drops
+    the dead continuation's. Atomic rewrite; returns #records dropped.
+    """
+    mpath = os.path.join(run_dir, "metrics.jsonl")
+    if not os.path.exists(mpath):
+        return 0
+    kept, dropped = [], 0
+    with open(mpath) as f:
+        for line in f:
+            try:
+                rec = json.loads(line)
+            except ValueError:
+                kept.append(line)       # not ours to judge — keep
+                continue
+            if rec.get("epoch", 0) <= last_kept_epoch:
+                kept.append(line)
+            else:
+                dropped += 1
+    if dropped:
+        with open(mpath + ".tmp", "w") as f:
+            f.writelines(kept)
+        os.replace(mpath + ".tmp", mpath)
+        print(f"[metrics] pruned {dropped} record(s) past epoch "
+              f"{last_kept_epoch} (re-running them after resume)", flush=True)
+    return dropped
+
+
 class Visualizer:
     def __init__(self, opt):
         self.opt = opt

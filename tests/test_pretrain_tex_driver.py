@@ -13,9 +13,10 @@ from neural_human_video_rendering_tpu.utils import checkpoint as ckpt
 
 
 def _opt(tiny_opt, tmp_path, **kw):
+    kw.setdefault("niter", 1)
     return dataclasses.replace(
         tiny_opt, checkpoints_dir=str(tmp_path), name="texstage",
-        niter=1, no_decay=True, save_epoch_freq=1, print_freq=100,
+        no_decay=True, save_epoch_freq=1, print_freq=100,
         display_freq=10 ** 9, no_html=True, **kw)
 
 
@@ -27,11 +28,17 @@ def test_masked_pretrain_and_resume(tiny_opt, tmp_path, capsys):
     assert os.path.isfile(os.path.join(run_dir, "1_net_TexG.msgpack"))
     assert ckpt.latest_epoch(run_dir, "TexG") == "1"
 
-    # resume: params start from the epoch-1 checkpoint, not random init
-    opt2 = _opt(tiny_opt, tmp_path, use_mask_texture=True, continue_train=True)
+    # resume: params start from the epoch-1 checkpoint, not random init,
+    # and the epoch counter CONTINUES (pix2pixHD continue_train semantics:
+    # a 2-epoch schedule resumed from epoch 1 trains only epoch 2 — it
+    # does not re-run and re-log epoch 1)
+    opt2 = _opt(tiny_opt, tmp_path, use_mask_texture=True,
+                continue_train=True, niter=2)
     capsys.readouterr()
     carry2 = run_pretrain_tex(opt2)
-    assert "[ckpt] resumed from epoch 1" in capsys.readouterr().out
+    out = capsys.readouterr().out
+    assert "[ckpt] resumed from epoch 1" in out
+    assert "End of epoch 2 / 2" in out and "End of epoch 1" not in out
 
     # training moved the params on from the restored point
     import jax
