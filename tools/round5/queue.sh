@@ -72,8 +72,11 @@ if [ ! -f $FLAGDONE ] && before 20000; then
   stage1 uv_flag --pose_heatmaps --coord_conv || exit 1
   if [ ! -f $CKPT/e2e_flag/latest_net_G.msgpack ] \
      || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_flag/metrics.jsonl')))" 2>/dev/null)" -lt 120 ]; then
+    # resume (not restart) when a partial run's latest save exists — the
+    # first attempt timed out at epoch 106/120
+    RESUME=""; [ -f $CKPT/e2e_flag/latest_net_G.msgpack ] && RESUME=--continue_train
     timeout 7200 $PY train.py --name e2e_flag --checkpoints_dir $CKPT \
-      --batchSize 2 $DATAF \
+      --batchSize 2 $DATAF $RESUME \
       --load_pretrain_TransG $CKPT/uv_flag --which_epoch_TransG latest \
       $LOSSES --niter 80 --niter_decay 40 \
       --ema_decay 0.999 --save_epoch_freq 120 --save_latest_freq 450 \
@@ -83,7 +86,8 @@ if [ ! -f $FLAGDONE ] && before 20000; then
   echo SEG-A-DONE
   if [ ! -f $CKPT/e2e_flagext/latest_net_G.msgpack ] \
      || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_flagext/metrics.jsonl')))" 2>/dev/null)" -lt 160 ]; then
-    rm -rf $CKPT/e2e_flagext && cp -r $CKPT/e2e_flag $CKPT/e2e_flagext
+    [ -f $CKPT/e2e_flagext/latest_net_G.msgpack ] \
+      || { rm -rf $CKPT/e2e_flagext && cp -r $CKPT/e2e_flag $CKPT/e2e_flagext; }
     timeout 5400 $PY train.py --name e2e_flagext --checkpoints_dir $CKPT \
       --continue_train --batchSize 2 $DATAF \
       $LOSSES --niter 80 --niter_decay 80 \
@@ -94,7 +98,8 @@ if [ ! -f $FLAGDONE ] && before 20000; then
   echo SEG-B-DONE
   if [ ! -f $CKPT/e2e_flagext2/latest_net_G.msgpack ] \
      || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_flagext2/metrics.jsonl')))" 2>/dev/null)" -lt 220 ]; then
-    rm -rf $CKPT/e2e_flagext2 && cp -r $CKPT/e2e_flagext $CKPT/e2e_flagext2
+    [ -f $CKPT/e2e_flagext2/latest_net_G.msgpack ] \
+      || { rm -rf $CKPT/e2e_flagext2 && cp -r $CKPT/e2e_flagext $CKPT/e2e_flagext2; }
     timeout 5400 $PY train.py --name e2e_flagext2 --checkpoints_dir $CKPT \
       --continue_train --batchSize 2 $DATAF \
       $LOSSES --niter 80 --niter_decay 140 \
@@ -151,8 +156,9 @@ arm_512 () {  # $1 arm name, rest extra flags (fresh 6+100-epoch run)
   grep -q "\"$arm\"" $ARMS 2>/dev/null && return 0
   [ -f $R5/arm_e2e_$arm.json ] && return 0
   stage1 uv_$arm "$@" || return 1
+  local RES=""; [ -f $CKPT/e2e_$arm/latest_net_G.msgpack ] && RES=--continue_train
   timeout 7200 $PY train.py --name e2e_$arm --checkpoints_dir $CKPT \
-    --batchSize 2 $DATAF \
+    --batchSize 2 $DATAF $RES \
     --load_pretrain_TransG $CKPT/uv_$arm --which_epoch_TransG latest \
     $LOSSES --niter 60 --niter_decay 40 \
     --ema_decay 0.999 --save_epoch_freq 100 --save_latest_freq 450 \
@@ -169,8 +175,9 @@ if [ ! -f $R5/arm_e2e_cuvrext.json ] && before 9000; then
   stage1 uv_cuvr --pose_heatmaps --coord_conv --uv_refine 3 || exit 1
   if [ ! -f $CKPT/e2e_cuvr/latest_net_G.msgpack ] \
      || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_cuvr/metrics.jsonl')))" 2>/dev/null)" -lt 120 ]; then
+    RESC=""; [ -f $CKPT/e2e_cuvr/latest_net_G.msgpack ] && RESC=--continue_train
     timeout 7200 $PY train.py --name e2e_cuvr --checkpoints_dir $CKPT \
-      --batchSize 2 $DATAF \
+      --batchSize 2 $DATAF $RESC \
       --load_pretrain_TransG $CKPT/uv_cuvr --which_epoch_TransG latest \
       $LOSSES --niter 80 --niter_decay 40 \
       --ema_decay 0.999 --save_epoch_freq 120 --save_latest_freq 450 \
@@ -180,7 +187,8 @@ if [ ! -f $R5/arm_e2e_cuvrext.json ] && before 9000; then
   eval_arm e2e_cuvr --pose_heatmaps --coord_conv --uv_refine 3
   if [ ! -f $CKPT/e2e_cuvrext/latest_net_G.msgpack ] \
      || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_cuvrext/metrics.jsonl')))" 2>/dev/null)" -lt 220 ]; then
-    rm -rf $CKPT/e2e_cuvrext && cp -r $CKPT/e2e_cuvr $CKPT/e2e_cuvrext
+    [ -f $CKPT/e2e_cuvrext/latest_net_G.msgpack ] \
+      || { rm -rf $CKPT/e2e_cuvrext && cp -r $CKPT/e2e_cuvr $CKPT/e2e_cuvrext; }
     timeout 7200 $PY train.py --name e2e_cuvrext --checkpoints_dir $CKPT \
       --continue_train --batchSize 2 $DATAF \
       $LOSSES --niter 80 --niter_decay 140 \
