@@ -148,34 +148,59 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
 
     run_dir = opt.run_dir
     start_epoch = 1
+    resumed = False
     if opt.continue_train:
+        # a run saved only via --save_latest_freq iteration saves has NO
+        # numeric epoch files (e.g. --save_epoch_freq beyond its horizon) —
+        # resume must also key off latest_net_G, not just numeric tags
+        # (round-5 post-mortem: the numeric-only check silently restarted
+        # a 106-epoch run from scratch)
         ep = ckpt.latest_epoch(run_dir, "G")
-        if ep is not None:
+        if ep is not None or ckpt.has_latest(run_dir, "G"):
             state = state.replace(
-                g_params=ckpt.load_net(run_dir, "G", "latest", state.g_params),
-                d_params=ckpt.load_net(run_dir, "D", "latest", state.d_params))
+                g_params=ckpt.load_net(run_dir, "G", "latest", state.g_params))
+            if ckpt.has_latest(run_dir, "D") or ep is not None:
+                state = state.replace(d_params=ckpt.load_net(
+                    run_dir, "D", "latest", state.d_params))
+            else:
+                print("[ckpt] resume: latest_net_D missing (mid-kill save?);"
+                      " keeping fresh D init", flush=True)
             if state.g_ema is not None:
                 # restore the EMA track if this run saved one; otherwise
                 # restart it from the resumed raw weights (e.g. EMA turned
                 # on mid-run with --continue_train)
-                if ckpt.latest_epoch(run_dir, "G_ema") is not None:
+                if (ckpt.latest_epoch(run_dir, "G_ema") is not None
+                        or ckpt.has_latest(run_dir, "G_ema")):
                     state = state.replace(g_ema=ckpt.load_net(
                         run_dir, "G_ema", "latest", state.g_ema))
                 else:
                     state = state.replace(
                         g_ema=jax.tree.map(jnp.copy, state.g_params))
             state, saved_ep = ckpt.load_train_state(run_dir, state)
-            start_epoch = (saved_ep if saved_ep and saved_ep > 0
-                           else int(ep)) + 1
+            if saved_ep is not None and saved_ep > 0:
+                start_epoch = saved_ep + 1
+            elif ep is not None:
+                start_epoch = int(ep) + 1
+            else:
+                # iteration-only 'latest' save with no epoch anchor (saves
+                # written before the anchor existed record epoch -1):
+                # recover the position from the restored global step —
+                # completed full epochs = step // steps_per_epoch
+                start_epoch = int(state.step) // max(1, len(loader)) + 1
+            resumed = True
             if jax.process_index() == 0:
                 # epochs >= start_epoch are about to be re-run; their old
                 # log lines belong to the continuation that died after
                 # this save — drop them so the curve has unique epochs
                 prune_metrics_after(run_dir, start_epoch - 1)
-            print(f"[ckpt] resumed from epoch {ep} "
-                  f"(optimizer state {'restored' if saved_ep else 'fresh'})",
+            print(f"[ckpt] resumed at epoch {start_epoch} "
+                  f"(step {int(state.step)}, optimizer state "
+                  f"{'restored' if saved_ep is not None else 'fresh'})",
                   flush=True)
-    elif opt.load_pretrain and os.path.isdir(opt.load_pretrain):
+        else:
+            print(f"[ckpt] --continue_train: nothing to resume in {run_dir};"
+                  " starting fresh", flush=True)
+    if (not resumed) and opt.load_pretrain and os.path.isdir(opt.load_pretrain):
         # pix2pixHD --load_pretrain: warm-start the whole G (and D when
         # present) from another run's checkpoints, fresh optimizers
         g_params = ckpt.load_net(opt.load_pretrain, "G", opt.which_epoch,
@@ -187,7 +212,7 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
         state = state.replace(g_params=g_params, d_params=d_params)
         print(f"[ckpt] warm-started G/D from {opt.load_pretrain} "
               f"@ {opt.which_epoch}", flush=True)
-    elif opt.load_pretrain_TransG:
+    elif (not resumed) and opt.load_pretrain_TransG:
         state = state.replace(g_params=ckpt.load_transg_into(
             state.g_params, opt.load_pretrain_TransG, opt.which_epoch_TransG))
         print(f"[ckpt] loaded pretrained TransG from "
@@ -203,13 +228,17 @@ def run_train(opt, epochs: Optional[int] = None, max_steps: Optional[int] = None
     def step_fn(st, batch):
         return step(st, _device_batch(batch))
 
-    def save_fn(st, epoch):
+    def save_fn(st, epoch, completed=None):
         ckpt.save_net(run_dir, "G", epoch, st.g_params)
         ckpt.save_net(run_dir, "D", epoch, st.d_params)
         ckpt.save_net(run_dir, "TransG", epoch, st.g_params["TransG"])
         if st.g_ema is not None:
             ckpt.save_net(run_dir, "G_ema", epoch, st.g_ema)
-        ckpt.save_train_state(run_dir, st, epoch)
+        # iteration saves (tag 'latest') anchor the state blob to the last
+        # completed epoch so --continue_train resumes in place
+        anchor = epoch if str(epoch).isdigit() else (
+            completed if completed is not None else -1)
+        ckpt.save_train_state(run_dir, st, anchor)
         print(f"[ckpt] saved epoch {epoch} -> {run_dir}", flush=True)
 
     fwd = None
@@ -319,12 +348,22 @@ def run_pretrain_uv(opt, epochs: Optional[int] = None):
     start_epoch = 1
     if opt.continue_train:
         ep = ckpt.latest_epoch(run_dir, "TransG")
-        if ep is not None:
+        if ep is not None or ckpt.has_latest(run_dir, "TransG"):
             params = ckpt.load_net(run_dir, "TransG", "latest", params)
+            if ep is None:
+                # iteration-only 'latest' save: the sidecar anchor carries
+                # the last completed epoch (0 for pre-anchor saves: warm
+                # weights, schedule restarts — loudly)
+                anchor = ckpt.load_epoch_anchor(run_dir)
+                ep = anchor if anchor is not None else 0
+                if anchor is None:
+                    print("[ckpt] resume: latest-only save with no epoch "
+                          "anchor; keeping weights, restarting schedule at 1",
+                          flush=True)
             start_epoch = int(ep) + 1
             if jax.process_index() == 0:
                 prune_metrics_after(run_dir, start_epoch - 1)
-            print(f"[ckpt] resumed from epoch {ep}", flush=True)
+            print(f"[ckpt] resumed at epoch {start_epoch}", flush=True)
 
     mesh = _maybe_mesh(opt)
     carry0 = (params, opt_state)
@@ -339,8 +378,11 @@ def run_pretrain_uv(opt, epochs: Optional[int] = None):
                                          _device_batch(batch))
         return (params, opt_state), losses
 
-    def save_fn(carry, epoch):
+    def save_fn(carry, epoch, completed=None):
         ckpt.save_net(run_dir, "TransG", epoch, carry[0])
+        anchor = epoch if str(epoch).isdigit() else completed
+        if anchor is not None:
+            ckpt.save_epoch_anchor(run_dir, int(anchor))
         print(f"[ckpt] saved epoch {epoch} -> {run_dir}", flush=True)
 
     n_epochs = epochs if epochs is not None else opt.niter
@@ -433,12 +475,19 @@ def run_pretrain_tex(opt, epochs: Optional[int] = None):
     start_epoch = 1
     if opt.continue_train:
         ep = ckpt.latest_epoch(run_dir, "TexG")
-        if ep is not None:
+        if ep is not None or ckpt.has_latest(run_dir, "TexG"):
             params = ckpt.load_net(run_dir, "TexG", "latest", params)
+            if ep is None:
+                anchor = ckpt.load_epoch_anchor(run_dir)
+                ep = anchor if anchor is not None else 0
+                if anchor is None:
+                    print("[ckpt] resume: latest-only save with no epoch "
+                          "anchor; keeping weights, restarting schedule at 1",
+                          flush=True)
             start_epoch = int(ep) + 1
             if jax.process_index() == 0:
                 prune_metrics_after(run_dir, start_epoch - 1)
-            print(f"[ckpt] resumed from epoch {ep}", flush=True)
+            print(f"[ckpt] resumed at epoch {start_epoch}", flush=True)
 
     mesh = _maybe_mesh(opt)
     carry0 = (params, opt_state)
@@ -453,8 +502,11 @@ def run_pretrain_tex(opt, epochs: Optional[int] = None):
                                          _device_batch(batch))
         return (params, opt_state), losses
 
-    def save_fn(carry, epoch):
+    def save_fn(carry, epoch, completed=None):
         ckpt.save_net(run_dir, "TexG", epoch, carry[0])
+        anchor = epoch if str(epoch).isdigit() else completed
+        if anchor is not None:
+            ckpt.save_epoch_anchor(run_dir, int(anchor))
         print(f"[ckpt] saved epoch {epoch} -> {run_dir}", flush=True)
 
     n_epochs = epochs if epochs is not None else opt.niter

@@ -89,8 +89,10 @@ def run_training(opt, loader: BatchLoader, step_fn: Callable,
                 if (lead and opt.save_latest_freq > 0
                         and total_steps % opt.save_latest_freq == 0):
                     # iteration-level 'latest' save (--save_latest_freq,
-                    # pix2pixHD cadence): epoch tag 'latest' only
-                    save_fn(carry, "latest")
+                    # pix2pixHD cadence): epoch tag 'latest' only; the last
+                    # COMPLETED epoch rides along so resume knows where the
+                    # save sits in the schedule
+                    save_fn(carry, "latest", epoch - 1)
             print(f"End of epoch {epoch} / {epochs} "
                   f"({time.time() - t_epoch:.1f}s)", flush=True)
             if eval_fn is not None:

@@ -64,6 +64,35 @@ def load_net(run_dir: str, label: str, epoch="latest",
     return raw
 
 
+def has_latest(run_dir: str, label: str) -> bool:
+    """True when a latest_net_{label} file exists — the only artifact a run
+    saved purely via --save_latest_freq iteration saves leaves behind
+    (numeric tags appear only at --save_epoch_freq boundaries)."""
+    return os.path.exists(_path(run_dir, "latest", label))
+
+
+def save_epoch_anchor(run_dir: str, epoch: int) -> None:
+    """Tiny sidecar recording the last COMPLETED epoch for runs whose only
+    checkpoints are iteration 'latest' saves and whose save path carries no
+    latest_state blob (the single-net pretrain stages). Lets
+    --continue_train recover its position instead of restarting at 1."""
+    import json
+    _write_atomic(os.path.join(run_dir, "latest_anchor.json"),
+                  json.dumps({"epoch": int(epoch)}).encode())
+
+
+def load_epoch_anchor(run_dir: str) -> Optional[int]:
+    import json
+    path = os.path.join(run_dir, "latest_anchor.json")
+    if not os.path.exists(path):
+        return None
+    try:
+        with open(path) as f:
+            return int(json.load(f)["epoch"])
+    except (ValueError, KeyError, OSError):
+        return None
+
+
 def latest_epoch(run_dir: str, label: str) -> Optional[str]:
     """Highest numeric epoch with a saved file for `label`, or None."""
     if not os.path.isdir(run_dir):
