@@ -59,6 +59,59 @@ def prune_metrics_after(run_dir: str, last_kept_epoch: int) -> int:
     return dropped
 
 
+def dedup_metrics(run_dir: str) -> int:
+    """Retroactively apply resume-prune semantics to a whole metrics.jsonl.
+
+    For runs whose restart happened with a pre-fix binary (no prune at
+    resume time), the file holds interleaved series — e.g. the round-5
+    flagship replay logged epochs 1-106, silently restarted, and logged
+    1-120 again. Replay the rule prune_metrics_after enforces online:
+    whenever a record's epoch is below the max already kept, an (implicit)
+    restart superseded everything from that epoch on — drop those earlier
+    records. Never run this on a LIVE run dir (the trainer holds the file
+    open in append mode; the atomic replace would orphan its handle).
+    Returns #records dropped.
+    """
+    mpath = os.path.join(run_dir, "metrics.jsonl")
+    if not os.path.exists(mpath):
+        return 0
+    kept, dropped = [], 0
+    max_kept = 0
+    last_step = -1
+    for line in open(mpath):
+        try:
+            rec = json.loads(line)
+        except ValueError:
+            kept.append((None, line))   # not ours to judge — keep
+            continue
+        ep = rec.get("epoch")
+        if ep is None:
+            kept.append((None, line))
+            continue
+        step = rec.get("step")
+        # multiple records legitimately share an epoch (loss lines + val),
+        # so a restart is an epoch DECREASE, or the same epoch re-entered
+        # with its step counter reset
+        if ep < max_kept or (ep == max_kept and step is not None
+                             and step < last_step):
+            n = len(kept)
+            kept = [(e, l) for e, l in kept if e is None or e < ep]
+            dropped += n - len(kept)
+            max_kept = ep
+        else:
+            max_kept = max(max_kept, ep)
+        if step is not None:
+            last_step = step
+        kept.append((ep, line))
+    if dropped:
+        with open(mpath + ".tmp", "w") as f:
+            f.writelines(l for _, l in kept)
+        os.replace(mpath + ".tmp", mpath)
+        print(f"[metrics] dedup: dropped {dropped} superseded record(s) "
+              f"from {mpath}", flush=True)
+    return dropped
+
+
 class Visualizer:
     def __init__(self, opt):
         self.opt = opt

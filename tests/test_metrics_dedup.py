@@ -86,3 +86,59 @@ def test_train_resume_has_unique_epochs(tiny_opt, tmp_path):
     assert len(keys) == len(set(keys))
     # and epoch 3 really trained: fresh records exist for it
     assert any(r.get("epoch") == 3 and "G_total" in r for r in recs)
+
+
+# ---- retroactive whole-file dedup (round-5: restart with pre-fix binary) ----
+
+from neural_human_video_rendering_tpu.utils.visualizer import dedup_metrics
+
+
+def _loss(e, s):
+    return {"epoch": e, "it": 0, "step": s, "G_total": 1.0}
+
+
+def _val(e, s):
+    return {"epoch": e, "it": -1, "step": s, "val_PSNR": 20.0 + e}
+
+
+def test_dedup_full_restart_keeps_only_final_series(tmp_path):
+    run = str(tmp_path)
+    a = [r for e in range(1, 6) for r in (_loss(e, e * 3), _val(e, e * 3))]
+    b = [r for e in range(1, 8) for r in (_loss(e, e * 3), _val(e, e * 3))]
+    _write_jsonl(os.path.join(run, "metrics.jsonl"), a + b)
+    assert dedup_metrics(run) == len(a)
+    recs = [json.loads(l) for l in open(os.path.join(run, "metrics.jsonl"))]
+    assert [r["epoch"] for r in recs if "val_PSNR" in r] == list(range(1, 8))
+    keys = [(r["epoch"], r["it"], r["step"]) for r in recs]
+    assert len(keys) == len(set(keys))
+
+
+def test_dedup_resume_keeps_prefix_plus_continuation(tmp_path):
+    run = str(tmp_path)
+    a = [_val(e, e * 3) for e in range(1, 11)]       # died after save@5
+    b = [_val(e, e * 3) for e in range(6, 13)]       # resumed from 5
+    _write_jsonl(os.path.join(run, "metrics.jsonl"), a + b)
+    assert dedup_metrics(run) == 5                    # stale 6..10 dropped
+    recs = [json.loads(l) for l in open(os.path.join(run, "metrics.jsonl"))]
+    assert [r["epoch"] for r in recs] == list(range(1, 13))
+
+
+def test_dedup_clean_file_untouched(tmp_path):
+    run = str(tmp_path)
+    recs = [r for e in range(1, 5) for r in
+            (_loss(e, e * 3 - 1), _loss(e, e * 3), _val(e, e * 3))]
+    _write_jsonl(os.path.join(run, "metrics.jsonl"), recs)
+    before = open(os.path.join(run, "metrics.jsonl")).read()
+    assert dedup_metrics(run) == 0
+    assert open(os.path.join(run, "metrics.jsonl")).read() == before
+
+
+def test_dedup_same_epoch_restart_via_step_reset(tmp_path):
+    run = str(tmp_path)
+    a = [_loss(1, 1), _loss(1, 2), _loss(2, 3)]
+    b = [_loss(2, 1), _loss(3, 2)]                    # re-ran epoch 2
+    _write_jsonl(os.path.join(run, "metrics.jsonl"), a + b)
+    assert dedup_metrics(run) == 1                    # stale epoch-2 line
+    recs = [json.loads(l) for l in open(os.path.join(run, "metrics.jsonl"))]
+    assert [(r["epoch"], r["step"]) for r in recs] == [
+        (1, 1), (1, 2), (2, 1), (3, 2)]
