@@ -86,6 +86,18 @@ def build_pose_input(opt, joints: jnp.ndarray,
     return pose
 
 
+def ema_blend(g_ema, new_params, step, decay: float):
+    """Horizon-warmup EMA update (Adam-style debiasing): the effective decay
+    ramps from ~0.1 so the early EMA tracks the fast-moving init instead of
+    averaging random weights in; converges to `decay` within ~10/(1-d)
+    steps. All math f32 on-device — one fused elementwise pass per leaf.
+    `step` is the step count BEFORE this update (state.step)."""
+    t = (step + 1).astype(jnp.float32)
+    d = jnp.minimum(jnp.float32(decay), (1.0 + t) / (10.0 + t))
+    return jax.tree.map(lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
+                        g_ema, new_params)
+
+
 def _shared_assets(state: TrainState):
     """Static per-person assets as batch-1 tensors.
 
@@ -252,15 +264,8 @@ def make_train_step(opt, renderer, disc, vgg_params, g_tx, d_tx
         new_g = optax.apply_updates(state.g_params, g_ups)
         ema_kwargs = {}
         if opt.ema_decay > 0 and state.g_ema is not None:
-            # horizon-warmup (Adam-style): the effective decay ramps from 0
-            # so early EMA tracks the fast-moving init instead of averaging
-            # random weights in; converges to opt.ema_decay within ~10/(1-d)
-            # steps. All math f32 on-device — one fused elementwise pass.
-            t = (state.step + 1).astype(jnp.float32)
-            d = jnp.minimum(jnp.float32(opt.ema_decay), (1.0 + t) / (10.0 + t))
-            ema_kwargs["g_ema"] = jax.tree.map(
-                lambda e, p: e * d + p.astype(e.dtype) * (1.0 - d),
-                state.g_ema, new_g)
+            ema_kwargs["g_ema"] = ema_blend(state.g_ema, new_g,
+                                            state.step, opt.ema_decay)
         new_state = state.replace(
             step=state.step + 1,
             g_params=new_g,

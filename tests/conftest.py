@@ -56,11 +56,26 @@ _SLOW_TESTS = {
     "test_checkpoint.py::test_load_pretrain_warm_start",
     "test_crop_mode.py::test_train_step_with_crop_bg",
     "test_e2e_pipeline.py::test_full_pipeline",
-    # EMA: keep only the update-math check in the fast tier — the other two
-    # are additional full-GAN-step compiles of the same graph family
-    # (round-4 fast-tier trim; each ~100 s single-core)
+    # EMA: the fast tier keeps test_ema_blend_math_unit (pure math, ms);
+    # all three integration tests compile full GAN steps (round-5 trim —
+    # the update-math one alone measured ~190 s contended / ~70 s solo)
     "test_ema.py::test_ema_off_by_default",
     "test_ema.py::test_ema_checkpoint_roundtrip_and_inference_preference",
+    "test_ema.py::test_ema_update_math",
+    # round-5 fast-tier trim: each of these compiles a distinct full-step
+    # or full-renderer graph; a cheaper sibling stays in the fast tier
+    # (ms_uv: test_aux_shapes_and_scale_ladder; resume: the prune/dedup
+    # units + test_pretrain_tex_driver; infer: writes_frames_and_gallery;
+    # feat-encoder: test_feat_encoder_shapes; LPIPS: identity/per-sample;
+    # local enhancer: shapes_and_structure)
+    "test_metrics_dedup.py::test_train_resume_has_unique_epochs",
+    "test_ms_uv.py::test_train_step_with_ms_uv",
+    "test_ms_uv.py::test_aux_loss_reaches_trunk_params",
+    "test_ms_uv.py::test_pretrain_step_with_ms_uv",
+    "test_infer.py::test_pose_image_driving_uses_training_geometry",
+    "test_feat_encoder.py::test_renderer_without_flag_has_no_encoder",
+    "test_lpips.py::test_evaluate_cli_metric_lpips",
+    "test_local_enhancer.py::test_local_enhancer_two_levels",
     "test_export_serving.py::test_export_params_as_arguments",
     "test_export_serving.py::test_export_roundtrip_baked_weights",
     "test_feat_encoder.py::test_train_step_trains_encoder",

@@ -99,3 +99,22 @@ def test_ema_checkpoint_roundtrip_and_inference_preference(tiny_opt, tmp_path):
     label = ("G_ema" if os.path.isfile(
         ckpt._path(run_dir, "latest", "G_ema")) else "G")
     assert label == "G"
+
+
+def test_ema_blend_math_unit():
+    """Fast-tier EMA math check (the full-GAN-step integration,
+    test_ema_update_math, is slow-tier: it compiles the whole train step).
+    Pins the warmup ramp, the cap at `decay`, and param->EMA dtype cast."""
+    ema = {"w": jnp.full((3,), 1.0, jnp.float32)}
+    p = {"w": jnp.full((3,), 2.0, jnp.bfloat16)}
+    for step in (0, 1, 5, 500):
+        out = st.ema_blend(ema, p, jnp.asarray(step), 0.9)
+        t = step + 1
+        d = min(0.9, (1.0 + t) / (10.0 + t))
+        want = 1.0 * d + 2.0 * (1.0 - d)
+        assert out["w"].dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(out["w"]), want, rtol=1e-6)
+    # large-step effective decay is capped at `decay` exactly
+    out = st.ema_blend(ema, p, jnp.asarray(10 ** 6), 0.9)
+    np.testing.assert_allclose(np.asarray(out["w"]), 1.0 * 0.9 + 2.0 * 0.1,
+                               rtol=1e-6)
