@@ -1,17 +1,18 @@
 #!/bin/bash
-# Round-5 TPU queue. Sequential (ONE process may hold the TPU); each item
-# self-skips when its evidence exists, so the queue can re-run blindly.
+# Round-5 TPU queue (v2 — reordered mid-round for the 10:30 UTC deadline).
+# Sequential (ONE process may hold the TPU); each item self-skips when its
+# evidence exists and every train RESUMES from its latest save (real resume
+# since commit cd5fdfc), so the queue can be re-run blindly.
 # Stop it with: kill $(cat /tmp/r5_queue.pid)
 #
-# Agenda (VERDICT r4 "next round" #2-#6):
-#   1. Replay the full 220-epoch flagship (comboext2 recipe, three exact
-#      segments per checkpoints/r4/e2e_combo{,ext,ext2}/recipe.json) —
-#      the 33 dB weights died with the round-4 box; recipes survived.
-#   2. Install into checkpoints/flagship (complete set + provenance).
-#   3. --ms_uv deep-supervision 64px A/B gate, then the 512px arm.
-#   4. combouvr replay + ep120->220 extension (structure+schedule probe).
-#   5. --limb_coords 512px arm (unmeasured two rounds).
-#   6. 512px noisy pseudo-GT A/B.
+# Agenda (VERDICT r4 "next round" #2-#6), v2 priorities given ~5h of chip:
+#   1. Flagship 220-epoch replay -> install (VERDICT #2; SEG-A done in v1).
+#   2. --ms_uv 64px gate, then the 512px arm (VERDICT #4: the named new
+#      structural lever, needs a measured 512px delta).
+#   3. 512px noisy pseudo-GT A/B, shortened 3+12-epoch schedule (VERDICT
+#      #5; open two rounds — a cruder signal beats another open item).
+#   4. lc / cuvr replays only if time remains (VERDICT #6/#3 — cuvr's
+#      120->220 extension needs ~3h it will not get; documented tradeoff).
 set -x
 cd "$(dirname "$0")/../.."
 ROOT=$(pwd)
@@ -25,8 +26,23 @@ mkdir -p $CKPT $ROOT/docs/quality
 SIZING="--ngf 64 --n_blocks_translate 9 --n_downsample_translate 4 --ngf_global 48 --n_blocks_global 10 --n_downsample_global 2 --n_blocks_bg 2 --n_downsample_bg 2 --loadSize 512 --tex_tile 64"
 PERF="--stem_s2d 2 --head_s2d 2 --bg_s2d 4 --pad_mode same --dtype bfloat16 --temporal_prev real"
 PY=python
-HARD_END=${HARD_END:-$(( $(date +%s) + 30000 ))}
+HARD_END=${HARD_END:-$(( $(date +%s) + 18000 ))}
 before () { [ "$(date +%s)" -lt $(( HARD_END - $1 )) ]; }
+
+# Highest epoch logged in a run's metrics.jsonl; 0 when absent/unreadable
+# (v1 compared a raw $() against -lt, which made a failed read SKIP the
+# segment — a partially-copied run dir would then silently graduate).
+maxep () {
+  $PY -c "import json,sys
+print(max((json.loads(l).get('epoch',0) for l in open(sys.argv[1])), default=0))" \
+    "$1/metrics.jsonl" 2>/dev/null || echo 0
+}
+
+# Atomic run-dir fork: never leave a half-copied dir a self-skip could trust
+fork_run () {  # $1 src, $2 dst
+  rm -rf "$2" "$2.tmp"
+  cp -r "$1" "$2.tmp" && mv "$2.tmp" "$2"
+}
 
 # ---- corpus (deterministic from the reference keypoints) ----
 [ -d $D/frames ] || { mkdir -p /tmp/r4 && \
@@ -66,44 +82,46 @@ stage1 () {  # $1 name, rest extra flags
 # ======== 1. flagship replay: combo(120) -> ext(160) -> ext2(220) ========
 # exact segment schedules from the preserved recipes (niter/niter_decay:
 # 80/40 fresh, then continue_train 80/80, then 80/140 — the warm-restart
-# decay trick that bought the last +0.4 dB in round 4)
+# decay trick that bought the last +0.4 dB in round 4). save_latest_freq
+# raised 450->1350: a 'latest' save costs ~450 s through the tunnel and
+# resume is now real, so 30-epoch save spacing trades ~7 min/segment of
+# save overhead against a bounded 30-epoch replay-on-kill.
 FLAGDONE=$ROOT/docs/quality/r5_flagship.json
-if [ ! -f $FLAGDONE ] && before 20000; then
+if [ ! -f $FLAGDONE ] && before 16000; then
   stage1 uv_flag --pose_heatmaps --coord_conv || exit 1
   if [ ! -f $CKPT/e2e_flag/latest_net_G.msgpack ] \
-     || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_flag/metrics.jsonl')))" 2>/dev/null)" -lt 120 ]; then
-    # resume (not restart) when a partial run's latest save exists — the
-    # first attempt timed out at epoch 106/120
+     || [ "$(maxep $CKPT/e2e_flag)" -lt 120 ]; then
     RESUME=""; [ -f $CKPT/e2e_flag/latest_net_G.msgpack ] && RESUME=--continue_train
     timeout 7200 $PY train.py --name e2e_flag --checkpoints_dir $CKPT \
       --batchSize 2 $DATAF $RESUME \
       --load_pretrain_TransG $CKPT/uv_flag --which_epoch_TransG latest \
       $LOSSES --niter 80 --niter_decay 40 \
-      --ema_decay 0.999 --save_epoch_freq 120 --save_latest_freq 450 \
+      --ema_decay 0.999 --save_epoch_freq 120 --save_latest_freq 1350 \
       --print_freq 200 --display_freq 10000 $SIZING $PERF \
       --pose_heatmaps --coord_conv > $R5/e2e_flag.log 2>&1 || exit 1
   fi
   echo SEG-A-DONE
-  if [ ! -f $CKPT/e2e_flagext/latest_net_G.msgpack ] \
-     || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_flagext/metrics.jsonl')))" 2>/dev/null)" -lt 160 ]; then
+  # e2e_flag's trainer is dead here: clean its stale pre-restart series so
+  # the forks inherit a machine-readable curve (round-5 resume post-mortem)
+  $PY tools/round5/dedup_metrics.py $CKPT/e2e_flag >> $R5/dedup.log 2>&1
+  if [ "$(maxep $CKPT/e2e_flagext)" -lt 160 ]; then
     [ -f $CKPT/e2e_flagext/latest_net_G.msgpack ] \
-      || { rm -rf $CKPT/e2e_flagext && cp -r $CKPT/e2e_flag $CKPT/e2e_flagext; }
+      || fork_run $CKPT/e2e_flag $CKPT/e2e_flagext
     timeout 5400 $PY train.py --name e2e_flagext --checkpoints_dir $CKPT \
       --continue_train --batchSize 2 $DATAF \
       $LOSSES --niter 80 --niter_decay 80 \
-      --ema_decay 0.999 --save_epoch_freq 160 --save_latest_freq 450 \
+      --ema_decay 0.999 --save_epoch_freq 160 --save_latest_freq 1350 \
       --print_freq 200 --display_freq 10000 $SIZING $PERF \
       --pose_heatmaps --coord_conv > $R5/e2e_flagext.log 2>&1 || exit 1
   fi
   echo SEG-B-DONE
-  if [ ! -f $CKPT/e2e_flagext2/latest_net_G.msgpack ] \
-     || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_flagext2/metrics.jsonl')))" 2>/dev/null)" -lt 220 ]; then
+  if [ "$(maxep $CKPT/e2e_flagext2)" -lt 220 ]; then
     [ -f $CKPT/e2e_flagext2/latest_net_G.msgpack ] \
-      || { rm -rf $CKPT/e2e_flagext2 && cp -r $CKPT/e2e_flagext $CKPT/e2e_flagext2; }
+      || fork_run $CKPT/e2e_flagext $CKPT/e2e_flagext2
     timeout 5400 $PY train.py --name e2e_flagext2 --checkpoints_dir $CKPT \
       --continue_train --batchSize 2 $DATAF \
       $LOSSES --niter 80 --niter_decay 140 \
-      --ema_decay 0.999 --save_epoch_freq 220 --save_latest_freq 450 \
+      --ema_decay 0.999 --save_epoch_freq 220 --save_latest_freq 1350 \
       --print_freq 200 --display_freq 10000 $SIZING $PERF \
       --pose_heatmaps --coord_conv > $R5/e2e_flagext2.log 2>&1 || exit 1
   fi
@@ -145,8 +163,8 @@ fi
 
 # ======== 2. --ms_uv 64px A/B gate ========
 MS64=$ROOT/docs/quality/ms_uv_64px.json
-if [ ! -f $MS64 ] && before 16000; then
-  timeout 7200 $PY tools/round5/ms_uv_ab64.py --out $MS64 \
+if [ ! -f $MS64 ] && before 11000; then
+  timeout 5400 $PY tools/round5/ms_uv_ab64.py --out $MS64 \
     > $R5/ms64.log 2>&1 && echo MS64-DONE
 fi
 
@@ -161,57 +179,55 @@ arm_512 () {  # $1 arm name, rest extra flags (fresh 6+100-epoch run)
     --batchSize 2 $DATAF $RES \
     --load_pretrain_TransG $CKPT/uv_$arm --which_epoch_TransG latest \
     $LOSSES --niter 60 --niter_decay 40 \
-    --ema_decay 0.999 --save_epoch_freq 100 --save_latest_freq 450 \
+    --ema_decay 0.999 --save_epoch_freq 100 --save_latest_freq 1350 \
     --print_freq 200 --display_freq 10000 $SIZING $PERF "$@" \
     > $R5/e2e_$arm.log 2>&1 || return 1
   eval_arm e2e_$arm "$@"
 }
-if before 14000; then
+if before 8000; then
   arm_512 msuv --pose_heatmaps --coord_conv --ms_uv 2 && echo ARM-MSUV-DONE
 fi
 
-# ======== 4. combouvr replay + ep120->220 extension ========
-if [ ! -f $R5/arm_e2e_cuvrext.json ] && before 9000; then
+# ======== 4. 512px noisy pseudo-GT A/B (shortened 3+12-ep schedule) =====
+if [ ! -f $ROOT/docs/quality/noisy_gt_ab_512px.json ] && before 4500; then
+  timeout 9000 $PY tools/noisy_gt_ab.py --out $R5/noisyab512 --size 512 \
+    --tile 64 --epochs 12 --pre_epochs 3 --corrupt 0.6 --how_many 10 \
+    > $R5/noisyab512.log 2>&1 \
+    && cp $R5/noisyab512/noisy_gt_ab.json $ROOT/docs/quality/noisy_gt_ab_512px.json \
+    && echo NOISYAB512-DONE
+fi
+
+# ======== 5. --limb_coords 512px arm (only if time remains) =============
+if before 7000; then
+  arm_512 lc --pose_heatmaps --coord_conv --limb_coords && echo ARM-LC-DONE
+fi
+
+# ======== 6. combouvr replay + ep120->220 extension (time permitting) ===
+if [ ! -f $R5/arm_e2e_cuvrext.json ] && before 13000; then
   stage1 uv_cuvr --pose_heatmaps --coord_conv --uv_refine 3 || exit 1
-  if [ ! -f $CKPT/e2e_cuvr/latest_net_G.msgpack ] \
-     || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_cuvr/metrics.jsonl')))" 2>/dev/null)" -lt 120 ]; then
+  if [ "$(maxep $CKPT/e2e_cuvr)" -lt 120 ]; then
     RESC=""; [ -f $CKPT/e2e_cuvr/latest_net_G.msgpack ] && RESC=--continue_train
     timeout 7200 $PY train.py --name e2e_cuvr --checkpoints_dir $CKPT \
       --batchSize 2 $DATAF $RESC \
       --load_pretrain_TransG $CKPT/uv_cuvr --which_epoch_TransG latest \
       $LOSSES --niter 80 --niter_decay 40 \
-      --ema_decay 0.999 --save_epoch_freq 120 --save_latest_freq 450 \
+      --ema_decay 0.999 --save_epoch_freq 120 --save_latest_freq 1350 \
       --print_freq 200 --display_freq 10000 $SIZING $PERF \
       --pose_heatmaps --coord_conv --uv_refine 3 > $R5/e2e_cuvr.log 2>&1 || exit 1
   fi
   eval_arm e2e_cuvr --pose_heatmaps --coord_conv --uv_refine 3
-  if [ ! -f $CKPT/e2e_cuvrext/latest_net_G.msgpack ] \
-     || [ "$(python -c "import json;print(max(json.loads(l)['epoch'] for l in open('$CKPT/e2e_cuvrext/metrics.jsonl')))" 2>/dev/null)" -lt 220 ]; then
+  if [ "$(maxep $CKPT/e2e_cuvrext)" -lt 220 ]; then
     [ -f $CKPT/e2e_cuvrext/latest_net_G.msgpack ] \
-      || { rm -rf $CKPT/e2e_cuvrext && cp -r $CKPT/e2e_cuvr $CKPT/e2e_cuvrext; }
+      || fork_run $CKPT/e2e_cuvr $CKPT/e2e_cuvrext
     timeout 7200 $PY train.py --name e2e_cuvrext --checkpoints_dir $CKPT \
       --continue_train --batchSize 2 $DATAF \
       $LOSSES --niter 80 --niter_decay 140 \
-      --ema_decay 0.999 --save_epoch_freq 220 --save_latest_freq 450 \
+      --ema_decay 0.999 --save_epoch_freq 220 --save_latest_freq 1350 \
       --print_freq 200 --display_freq 10000 $SIZING $PERF \
       --pose_heatmaps --coord_conv --uv_refine 3 > $R5/e2e_cuvrext.log 2>&1 || exit 1
   fi
   eval_arm e2e_cuvrext --pose_heatmaps --coord_conv --uv_refine 3 \
     && echo CUVREXT-DONE
-fi
-
-# ======== 5. --limb_coords 512px arm ========
-if before 7000; then
-  arm_512 lc --pose_heatmaps --coord_conv --limb_coords && echo ARM-LC-DONE
-fi
-
-# ======== 6. 512px noisy pseudo-GT A/B ========
-if [ ! -f $ROOT/docs/quality/noisy_gt_ab_512px.json ] && before 3000; then
-  timeout 20000 $PY tools/noisy_gt_ab.py --out $R5/noisyab512 --size 512 \
-    --tile 64 --epochs 20 --pre_epochs 4 --corrupt 0.6 --how_many 10 \
-    > $R5/noisyab512.log 2>&1 \
-    && cp $R5/noisyab512/noisy_gt_ab.json $ROOT/docs/quality/noisy_gt_ab_512px.json \
-    && echo NOISYAB512-DONE
 fi
 
 echo R5-QUEUE-DONE
