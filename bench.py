@@ -243,9 +243,21 @@ def main():
     # the only honest fence, and successive steps are serialized by the
     # state->state data dependency, so "N chained steps + one scalar fetch"
     # measures true step time (amortizing the ~24 ms host roundtrip).
+    # The first traced step is also the first real chip touch; when another
+    # process released the chip moments earlier, the axon relay can throw a
+    # transient FAILED_PRECONDITION here (observed once in round 5, during a
+    # back-to-back eval->bench handoff). One bounded retry after a grace
+    # period; state is unmodified on a failed trace, so the retry is safe.
     t0 = time.time()
-    state, metrics = step(state, batch)
-    _ = float(metrics["G_total"])
+    try:
+        state, metrics = step(state, batch)
+        _ = float(metrics["G_total"])
+    except jax.errors.JaxRuntimeError as e:
+        print(f"# first step failed ({type(e).__name__}); retrying once in "
+              f"60s in case the chip was mid-handoff", file=sys.stderr)
+        time.sleep(60)
+        state, metrics = step(state, batch)
+        _ = float(metrics["G_total"])
     compile_s = time.time() - t0
     print(f"# compile+first step: {compile_s:.1f}s  device: {jax.devices()[0]}",
           file=sys.stderr)

@@ -67,9 +67,11 @@ class Options:
     coord_conv: bool = False         # concat 2 normalized x/y coordinate channels to the pose input (CoordConv; helps the UV heads regress absolute atlas coordinates). Measured +0.17 dB held-out at 512px (docs/quality/r4_arms_512px.json).
     # limb-local coordinate channels (2 per limb: along-limb t and signed
     # perpendicular distance, Gaussian-enveloped — data/rasterize.py
-    # limb_coord_maps). The structural lever against the IUV wall: DensePose
-    # UV is limb-aligned, so give the UV heads each limb's local frame
-    # directly instead of reconstructing it from the line render.
+    # limb_coord_maps). Motivation: DensePose UV is limb-aligned, so give
+    # the UV heads each limb's local frame directly instead of
+    # reconstructing it from the line render. EXPERIMENTAL/UNMEASURED: its
+    # 512px arm never got chip time (rounds 3-5); do not stack it into
+    # recipes until someone measures it (docs/QUALITY.md round-5 item 4).
     limb_coords: bool = False
     limb_sigma: float = 12.0         # perpendicular Gaussian envelope (px at loadSize canvas)
 

@@ -37,7 +37,7 @@ def test_masked_pretrain_and_resume(tiny_opt, tmp_path, capsys):
     capsys.readouterr()
     carry2 = run_pretrain_tex(opt2)
     out = capsys.readouterr().out
-    assert "[ckpt] resumed from epoch 1" in out
+    assert "[ckpt] resumed at epoch 2" in out
     assert "End of epoch 2 / 2" in out and "End of epoch 1" not in out
 
     # training moved the params on from the restored point
