@@ -32,14 +32,15 @@ timeout 900 python pre_train.py --name uv_regen --checkpoints_dir $CKPT \
   $SIZING $PERF --pose_heatmaps --coord_conv > /tmp/regen_s1.log 2>&1 || exit 1
 echo S1-DONE
 
-# --save_latest_freq 135 (~every 3 epochs): the stage-2 step compiles for
-# ~10 min on a cold cache, so a wall-clock cut can land before the final
-# save — frequent 'latest' saves make ANY cut point installable. On a warm
-# persistent cache (~/.cache/nhvr_jax) the whole run is ~8 min; on a COLD
-# cache the round-4 attempt reached only epoch 3 of 40 inside 2400 s
-# (VERDICT r4 weak #4), so the budget is now 3600 s — enough for the full
-# 40 epochs cold (~10 min compile + ~40 min train worst case still clips,
-# but the tail epochs only polish; any cut past ~epoch 20 is bench-grade).
+# --save_latest_freq 1350 (~every 30 epochs): frequent 'latest' saves make
+# any cut point installable, but a full save FETCHES ~1.5 GB of params
+# through the relay tunnel (~10-20 MB/s) — measured ~5-6 min per save on
+# the round-5 second-window box — so the original 135-iter spacing (~every
+# 3 epochs) would spend ~1 h of a 40-epoch run just saving (the r4 box's
+# tunnel was faster; this knob is tunnel-speed-dependent). 1350 (the
+# round-5 queue's spacing, same reasoning) gives one mid-run cut point
+# (~ep 30) plus the final save. Budget 3600 s: ~10 min cold compile +
+# ~15 min of epochs + 2 saves; any cut past ~epoch 20 is bench-grade.
 timeout 3600 python train.py --name e2e_regen --checkpoints_dir $CKPT \
   --batchSize 2 --pose_path $D/openpose_json --mask_path $D/mask \
   --img_path $D/frames --densepose_path $D/densepose \
@@ -49,7 +50,7 @@ timeout 3600 python train.py --name e2e_regen --checkpoints_dir $CKPT \
   --load_pretrain_TransG $CKPT/uv_regen --which_epoch_TransG latest \
   --lambda_L2 500 --lambda_UV 1000 --lambda_Prob 10 --lambda_Temp 500 \
   --use_densepose_loss --data_ratio 0.9 --niter 30 --niter_decay 10 \
-  --ema_decay 0.999 --save_epoch_freq 40 --save_latest_freq 135 \
+  --ema_decay 0.999 --save_epoch_freq 40 --save_latest_freq 1350 \
   --print_freq 100 --display_freq 10000 $SIZING $PERF \
   --pose_heatmaps --coord_conv > /tmp/regen_s2.log 2>&1
 # install whatever 'latest' the run managed to save, even if it timed out
