@@ -214,6 +214,8 @@ def main():
     arms = {"clean": os.path.join(a.out, "clean"),
             "noisy": os.path.join(a.out, "noisy")}
     for arm, data in arms.items():
+        if os.path.isdir(os.path.join(data, "frames")):
+            continue  # deterministic corpus already built (e.g. resume)
         cmd = [py, "tools/make_demo_data.py", "--out", data,
                "--size", str(a.size), "--tile", str(a.tile)]
         if arm == "noisy":
@@ -225,10 +227,32 @@ def main():
                           "corrupt": a.corrupt,
                           "model": "small" if a.small else
                           "reference-sizing"}}
+    if not a.skip_train:
+        # Train both arms FIRST (each arm self-skips when its stage-2
+        # checkpoint exists, so a killed run resumes at the right arm),
+        # then hand scoring to a fresh --skip_train subprocess. Scoring
+        # must NOT run in this parent: refinement_metrics initializes a
+        # live device session here, and on the single-session axon relay
+        # any LATER training subprocess then hangs at backend init until
+        # this parent dies (observed wedging the round-5 512px run between
+        # the clean score and the noisy arm's pretrain).
+        for arm, data in arms.items():
+            ckpt = os.path.join(a.out, f"ckpt_{arm}")
+            if not os.path.exists(os.path.join(ckpt, "e2e",
+                                               "latest_net_G.msgpack")):
+                train_arm(a, data, ckpt, log, size_kw)
+        cmd = [py, os.path.abspath(__file__), "--out", a.out,
+               "--size", str(a.size), "--tile", str(a.tile),
+               "--epochs", str(a.epochs), "--pre_epochs", str(a.pre_epochs),
+               "--batch", str(a.batch), "--corrupt", str(a.corrupt),
+               "--how_many", str(a.how_many), "--seed", str(a.seed),
+               "--skip_train"]
+        if a.small:
+            cmd.append("--small")
+        run(cmd, log)
+        return
     for arm, data in arms.items():
         ckpt = os.path.join(a.out, f"ckpt_{arm}")
-        if not a.skip_train:
-            train_arm(a, data, ckpt, log, size_kw)
         summary[arm] = refinement_metrics(a, data, arms["clean"], ckpt,
                                           size_kw, a.how_many)
         print(f"[{arm}] {json.dumps(summary[arm])}", flush=True)
