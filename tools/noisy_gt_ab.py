@@ -114,7 +114,12 @@ def _opt_for(a, data, ckpt, size_kw):
                    texture_path=f"{data}/texture.png",
                    no_flip=True, serial_batches=True, data_ratio=0.9,
                    checkpoints_dir=ckpt, name="e2e", nThreads=1,
-                   use_pallas_warp=False, **size_kw)
+                   # keep the TRAINING warp path (default True): forcing the
+                   # jnp grid_sample spec here made the 512px scoring pass
+                   # sit >17 min compiling its much larger gather graph
+                   # while every training compile took ~5 min; the Pallas
+                   # kernel interprets on CPU, so CPU scoring still works
+                   **size_kw)
 
 
 def refinement_metrics(a, arm_data, clean_data, ckpt, size_kw, n_eval):
