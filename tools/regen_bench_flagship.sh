@@ -25,10 +25,17 @@ CKPT=$ROOT/checkpoints/r4
 SIZING="--ngf 64 --n_blocks_translate 9 --n_downsample_translate 4 --ngf_global 48 --n_blocks_global 10 --n_downsample_global 2 --n_blocks_bg 2 --n_downsample_bg 2 --loadSize 512 --tex_tile 64"
 PERF="--stem_s2d 2 --head_s2d 2 --bg_s2d 4 --pad_mode same --dtype bfloat16 --temporal_prev real"
 
+# print_freq doubles as the relay keep-alive: the loss print is the loop's
+# only blocking device fetch, and on the round-5 second-window box a
+# process whose FIRST fetch came after ~50 async-dispatched 512px steps
+# wedged the relay stream permanently (two identical stalls at the epoch
+# 3/4 boundary of this stage-1; runs that fetched by iter 20 never
+# wedged). Keep the first fetch inside the first epoch: stage-1 16
+# steps/epoch -> print_freq 12; stage-2 45 steps/epoch -> print_freq 40.
 timeout 900 python pre_train.py --name uv_regen --checkpoints_dir $CKPT \
   --batchSize 6 --pose_path $D/openpose_json --mask_path $D/mask \
   --densepose_path $D/densepose --no_flip --resize_or_crop resize \
-  --niter 6 --no_decay --save_epoch_freq 6 --print_freq 50 \
+  --niter 6 --no_decay --save_epoch_freq 6 --print_freq 12 \
   $SIZING $PERF --pose_heatmaps --coord_conv > /tmp/regen_s1.log 2>&1 || exit 1
 echo S1-DONE
 
@@ -51,7 +58,7 @@ timeout 3600 python train.py --name e2e_regen --checkpoints_dir $CKPT \
   --lambda_L2 500 --lambda_UV 1000 --lambda_Prob 10 --lambda_Temp 500 \
   --use_densepose_loss --data_ratio 0.9 --niter 30 --niter_decay 10 \
   --ema_decay 0.999 --save_epoch_freq 40 --save_latest_freq 1350 \
-  --print_freq 100 --display_freq 10000 $SIZING $PERF \
+  --print_freq 40 --display_freq 10000 $SIZING $PERF \
   --pose_heatmaps --coord_conv > /tmp/regen_s2.log 2>&1
 # install whatever 'latest' the run managed to save, even if it timed out
 [ -f $CKPT/e2e_regen/latest_net_G.msgpack ] || exit 1
